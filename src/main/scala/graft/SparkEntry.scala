@@ -1,13 +1,504 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import graft.core.{Wfa, WfaWorkspace}
+import graft.ops.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.pipeline.{Corpus, Er, ErConfig}
+import org.apache.spark.TaskContext
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Driver contract — see SURVEY.md §7 + FIXTURES.md F5.
+  *
+  * Every SQL-expressible operator has a DuckDB oracle twin in [[oracleSql]]
+  * (column names aligned 1:1); non-SQL-expressible operators (MinHash-LSH
+  * blocking, SimHash, the streaming sessionizer) ship without an oracle
+  * (rows-only driver check) and are covered by ScalaTest specs instead. */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+
+  private def table(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  /** ER input with deterministically planted near-duplicates: every 5th
+    * document gets a copy with the last 7 chars dropped (distance 7 — a
+    * guaranteed match at tau=63). Identical CTE on the DuckDB side. */
+  private def erInput(spark: SparkSession, dir: String): DataFrame = {
+    val docs = table(spark, dir, "documents")
+    val originals = docs.select(
+      col("doc_id").as("id"), col("lang"), col("text").as("content"))
+    val planted = docs.where(col("doc_id") % 5 === 0).select(
+      (col("doc_id") + 1000000L).as("id"), col("lang"),
+      col("text").substr(lit(1), greatest(length(col("text")) - 7, lit(1))).as("content"))
+    originals.unionAll(planted)
+  }
+
+  /** Shared DuckDB CTE mirroring [[erInput]]. */
+  private val ErCorpusCte =
+    """WITH corpus AS (
+      |  SELECT doc_id AS id, lang, text AS content FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 1000000 AS id, lang,
+      |         substr(text, 1, greatest(length(text) - 7, 1)) AS content
+      |  FROM documents WHERE doc_id % 5 = 0
+      |)""".stripMargin
+
+  /** Length-bucketed candidate pairs (the SQL-mirrorable blocking path;
+    * the MinHash-LSH path is er07_lsh_blocks / the Er pipeline). Each
+    * right-side row is emitted into its own and the next 64-wide length
+    * bucket so any pair with |lenA-lenB| < 64 meets in >= 1 bucket. */
+  private def erCandidates(spark: SparkSession, dir: String): DataFrame = {
+    val c = erInput(spark, dir).withColumn("len", length(col("content")))
+    val bl = c.withColumn("bucket", floor(col("len") / 64))
+    val br = c.select(col("id").as("id_r"), col("lang"), col("len").as("len_r"),
+      explode(array(floor(col("len") / 64), floor(col("len") / 64) + 1)).as("bucket"))
+    bl.join(br, Seq("lang", "bucket"))
+      .where(col("id") =!= col("id_r") && abs(col("len") - col("len_r")) < 64)
+      .select(least(col("id"), col("id_r")).as("id_a"),
+        greatest(col("id"), col("id_r")).as("id_b"))
+      .dropDuplicates("id_a", "id_b")
+  }
+
+  private val ErPairsCte =
+    s"""$ErCorpusCte,
+       |c AS (SELECT id, lang, content, length(content) AS len FROM corpus),
+       |bl AS (SELECT id, lang, len, CAST(floor(len / 64) AS BIGINT) AS bucket FROM c),
+       |br AS (SELECT id AS id_r, lang, len AS len_r,
+       |       unnest([CAST(floor(len / 64) AS BIGINT),
+       |               CAST(floor(len / 64) AS BIGINT) + 1]) AS bucket FROM c),
+       |pairs AS (
+       |  SELECT DISTINCT least(bl.id, br.id_r) AS id_a,
+       |                  greatest(bl.id, br.id_r) AS id_b
+       |  FROM bl JOIN br ON bl.lang = br.lang AND bl.bucket = br.bucket
+       |  WHERE bl.id <> br.id_r AND abs(bl.len - br.len_r) < 64
+       |)""".stripMargin
+
+  /** WFA-score candidate pairs (the core scorer as a driver-contract
+    * query; band 1024 > any possible distance here, so results equal
+    * unit-cost Levenshtein and DuckDB's levenshtein() is an exact oracle). */
+  private def erScores(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val corpus = erInput(spark, dir)
+    val pairs = erCandidates(spark, dir)
+    val withBytes = pairs
+      .join(corpus.select(col("id").as("id_a"), col("content").cast("binary").as("ba")), "id_a")
+      .join(corpus.select(col("id").as("id_b"), col("content").cast("binary").as("bb")), "id_b")
+    withBytes.select($"id_a".as[Long], $"id_b".as[Long], $"ba".as[Array[Byte]], $"bb".as[Array[Byte]])
+      .mapPartitions { it =>
+        val ws = new WfaWorkspace(1024, withCigar = false)
+        it.map { case (a, b, pa, pb) => (a, b, Wfa.align(pa, pb, ws).distance.toLong) }
+      }
+      .toDF("id_a", "id_b", "distance")
+  }
+
+  // ------------------------------------------------------------------ entry
+
+  /** Flagship: the full ER pipeline (MinHash-LSH blocking -> salted
+    * candidate join -> banded WFA scoring -> large-star/small-star
+    * clustering) on sf0.001, returning non-singleton entities. */
+  def entry(spark: SparkSession): DataFrame = {
+    val corpus = Corpus.withDerived(
+      erInput(spark, "/root/testdata/sf0.001")
+        .withColumn("repo", lit("testdata"))
+        .withColumn("path", concat(lit("doc/"), col("id")))
+        .withColumn("commit", lit("0")))
+    val entities = Er.run(corpus, ErConfig())
+    entities.groupBy("entity").agg(count(lit(1)).as("members"))
+      .where(col("members") >= 2)
+      .orderBy(col("entity"))
+  }
+
+  // ---------------------------------------------------------------- queries
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // --- general relational operators (scan/filter/agg/join/window/setop) ---
+    "q01_pricing_agg" -> ((s, dir) => {
+      table(s, dir, "lineitem")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          sum(col("l_quantity").cast("decimal(18,2)")).as("sum_qty"),
+          sum(col("l_extendedprice").cast("decimal(18,2)")).as("sum_price"),
+          count(lit(1)).as("n_rows"),
+          countDistinct(col("l_orderkey")).as("n_orders"))
+        .orderBy("l_returnflag", "l_linestatus")
+    }),
+    "q02_join_agg" -> ((s, dir) => {
+      val o = table(s, dir, "orders")
+      val c = table(s, dir, "customer")
+      o.join(broadcast(c), o("o_custkey") === c("c_custkey"))
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n_orders"),
+          sum(col("o_totalprice").cast("decimal(18,2)")).as("revenue"))
+        .orderBy("c_mktsegment")
+    }),
+    "q03_window_topn" -> ((s, dir) => {
+      val w = Window.partitionBy("o_custkey")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      table(s, dir, "orders")
+        .withColumn("rk", row_number().over(w).cast("long"))
+        .where(col("rk") <= 2)
+        .select("o_custkey", "o_orderkey", "rk")
+        .orderBy("o_custkey", "rk")
+    }),
+    "q04_setops" -> ((s, dir) => {
+      val o = table(s, dir, "orders").select("o_custkey").distinct()
+      val c = table(s, dir, "customer").select(col("c_custkey"))
+      val withOrders = c.join(o, c("c_custkey") === o("o_custkey"), "left_semi")
+      val without = c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+      withOrders.select(lit("with_orders").as("grp"), col("c_custkey"))
+        .unionAll(without.select(lit("no_orders").as("grp"), col("c_custkey")))
+        .orderBy("grp", "c_custkey")
+    }),
+    "q05_events_window" -> ((s, dir) => {
+      table(s, dir, "events")
+        .groupBy(floor(col("ts").cast("timestamp").cast("double") / 60).cast("long").as("minute"),
+          col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(floor(col("value") * 1000).cast("long")).as("value_millis"))
+        .orderBy("minute", "event_type")
+    }),
+    "q06_sessionize" -> ((s, dir) => {
+      // gap-based sessions (gap > 300s) via lag + running sum — the
+      // SQL-window twin of streaming.EventStream.sessionize
+      val byUser = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      table(s, dir, "events")
+        .withColumn("prev_ts", lag(col("ts"), 1).over(byUser))
+        .withColumn("new_session",
+          when(col("prev_ts").isNull ||
+            col("ts").cast("timestamp").cast("double") -
+              col("prev_ts").cast("timestamp").cast("double") > 300, 1L)
+            .otherwise(0L))
+        .withColumn("session_idx", sum("new_session").over(
+          byUser.rowsBetween(Window.unboundedPreceding, 0)))
+        .groupBy("user_id", "session_idx")
+        .agg(count(lit(1)).as("n_events"),
+          sum(floor(col("value") * 1000).cast("long")).as("value_millis"))
+        .orderBy("user_id", "session_idx")
+    }),
+
+    // --- ER pipeline operators (SURVEY.md §2) ---
+    "er01_corpus" -> ((s, dir) => {
+      erInput(s, dir)
+        .select(col("id"), col("lang"), sha2(col("content"), 256).as("sha256"),
+          length(col("content")).cast("long").as("len"))
+        .orderBy("id")
+    }),
+    "er02_block_stats" -> ((s, dir) => {
+      erInput(s, dir)
+        .groupBy(col("lang"), floor(length(col("content")) / 64).as("bucket"))
+        .agg(count(lit(1)).as("n_docs"))
+        .orderBy("lang", "bucket")
+    }),
+    "er03_candidates" -> ((s, dir) =>
+      erCandidates(s, dir).orderBy("id_a", "id_b")),
+    "er04_scores" -> ((s, dir) =>
+      erScores(s, dir).orderBy("id_a", "id_b")),
+    "er05_edges" -> ((s, dir) =>
+      erScores(s, dir).where(col("distance") <= 63)
+        .select("id_a", "id_b").orderBy("id_a", "id_b")),
+    "er06_clusters" -> ((s, dir) => {
+      val corpus = erInput(s, dir)
+      val edges = erScores(s, dir).where(col("distance") <= 63).select("id_a", "id_b")
+      Er.entities(corpus, Er.connectedComponents(edges)).orderBy("id")
+    }),
+    "er07_cluster_sizes" -> ((s, dir) => {
+      val corpus = erInput(s, dir)
+      val edges = erScores(s, dir).where(col("distance") <= 63).select("id_a", "id_b")
+      Er.entities(corpus, Er.connectedComponents(edges))
+        .groupBy("entity").agg(count(lit(1)).as("members"))
+        .groupBy("members").agg(count(lit(1)).as("n_entities"))
+        .orderBy("members")
+    }),
+    // LSH blocking stats (non-SQL-expressible: MinHash signatures; driver
+    // does the rows-only check, correctness covered by ErPipelineSpec)
+    "er08_lsh_block_stats" -> ((s, dir) => {
+      val corpus = erInput(s, dir)
+      Er.blocks(corpus, ErConfig()).groupBy("band")
+        .agg(countDistinct("bhash").as("n_blocks"), count(lit(1)).as("n_rows"))
+        .orderBy("band")
+    }),
+
+    // --- dedup operators ---
+    "dd01_exact" -> ((s, dir) => {
+      Dedup.exact(table(s, dir, "documents")
+          .select(col("doc_id").as("id"), col("text").as("content")))
+        .orderBy("sha")
+    }),
+    "dd02_ngram_jaccard" -> ((s, dir) => {
+      val docs = erInput(s, dir)
+      val pairs = erCandidates(s, dir).where(col("id_b") - col("id_a") === 1000000L)
+      Dedup.ngramJaccard(docs, pairs, n = 2)
+        .select(col("id_a"), col("id_b"), col("jaccard"))
+        .orderBy("id_a", "id_b")
+    }),
+    "dd03_minhash_pairs" -> ((s, dir) => {
+      // planted near-dups guarantee recall>0; stats output (rows-only check)
+      Dedup.minHashPairs(erInput(s, dir).select(col("id"), col("content")), threshold = 0.5)
+        .agg(count(lit(1)).as("n_pairs"),
+          sum(when(col("id_b") - col("id_a") === 1000000L, 1L).otherwise(0L)).as("n_planted_found"))
+    }),
+    "dd04_simhash_pairs" -> ((s, dir) => {
+      Dedup.simHashPairs(erInput(s, dir).select(col("id"), col("content")), maxHamming = 3)
+        .agg(count(lit(1)).as("n_pairs"),
+          sum(when(col("id_b") - col("id_a") === 1000000L, 1L).otherwise(0L)).as("n_planted_found"))
+    }),
+    "dd05_embedding_neardup" -> ((s, dir) => {
+      Dedup.embeddingNearDups(
+          table(s, dir, "embeddings")
+            .select(col("vec_id"), transform(col("embedding"), _.cast("double")).as("embedding")),
+          threshold = 0.4)
+        .select("id_a", "id_b")
+        .orderBy("id_a", "id_b")
+    }),
+
+    // --- similarity search ---
+    "ann01_topk" -> ((s, dir) => {
+      val emb = table(s, dir, "embeddings")
+        .select(col("vec_id"), transform(col("embedding"), _.cast("double")).as("embedding"))
+      Similarity.bruteForceTopK(emb.where(col("vec_id") < 10), emb, k = 5)
+        .select(col("query_id"), col("item_id"), col("rank").cast("long").as("rank"))
+        .orderBy("query_id", "rank")
+    }),
+    "ann02_lsh" -> ((s, dir) => {
+      // LSH-bucketed ANN (approximate; rows-only check + spec coverage)
+      val emb = table(s, dir, "embeddings")
+        .select(col("vec_id"), transform(col("embedding"), _.cast("double")).as("embedding"))
+      Similarity.lshCosinePairs(emb, threshold = 0.35, nPlanes = 6)
+        .agg(count(lit(1)).as("n_pairs"))
+    }),
+
+    // --- text analysis ---
+    "txt01_quality" -> ((s, dir) => {
+      TextAnalysis.quality(
+          table(s, dir, "documents").select(col("doc_id"), col("text").as("content")))
+        .select(col("doc_id"), col("n_tokens").cast("long").as("n_tokens"),
+          col("punct_ratio"), col("stopword_ratio"), col("quality_score"))
+        .orderBy("doc_id")
+    }),
+    "txt02_langid" -> ((s, dir) => {
+      table(s, dir, "documents")
+        .select(col("doc_id"), TextAnalysis.langId(col("text")).as("lang_pred"))
+        .orderBy("doc_id")
+    }),
+    "txt03_tokens" -> ((s, dir) => {
+      val d = table(s, dir, "documents")
+      d.select(col("doc_id"),
+          TextAnalysis.tokenCount(col("text")).cast("long").as("n_tokens"),
+          TextAnalysis.subwordCount(col("text")).as("n_subwords"))
+        .orderBy("doc_id")
+    }),
+    "txt04_fingerprint" -> ((s, dir) => {
+      table(s, dir, "documents")
+        .select(col("doc_id"), TextAnalysis.fingerprint(col("text")).as("fp"))
+        .orderBy("doc_id")
+    }),
+
+    // --- multimodal plumbing ---
+    "mm01_media_meta" -> ((s, dir) => {
+      val docs = table(s, dir, "documents")
+        .select(col("doc_id").as("id"), col("text").as("content"))
+      Multimodal.extractMeta(Multimodal.synthesizeMedia(docs))
+        .select("id", "width", "height", "payload_len")
+        .orderBy("id")
+    })
+  )
+
+  // --------------------------------------------------------------- oracles
+
+  def oracleSql: Map[String, String] = Map(
+    "q01_pricing_agg" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  sum(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty,
+        |  sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS sum_price,
+        |  count(*) AS n_rows, count(DISTINCT l_orderkey) AS n_orders
+        |FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q02_join_agg" ->
+      """SELECT c_mktsegment, count(*) AS n_orders,
+        |  sum(CAST(o_totalprice AS DECIMAL(18,2))) AS revenue
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q03_window_topn" ->
+      """SELECT o_custkey, o_orderkey, rk FROM (
+        |  SELECT o_custkey, o_orderkey,
+        |    row_number() OVER (PARTITION BY o_custkey
+        |                       ORDER BY o_totalprice DESC, o_orderkey) AS rk
+        |  FROM orders) WHERE rk <= 2 ORDER BY o_custkey, rk""".stripMargin,
+    "q04_setops" ->
+      """SELECT 'with_orders' AS grp, c_custkey FROM customer
+        |WHERE c_custkey IN (SELECT o_custkey FROM orders)
+        |UNION ALL
+        |SELECT 'no_orders' AS grp, c_custkey FROM customer
+        |WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+        |ORDER BY grp, c_custkey""".stripMargin,
+    "q05_events_window" ->
+      """SELECT CAST(floor(epoch(ts) / 60) AS BIGINT) AS minute, event_type,
+        |  count(*) AS n,
+        |  CAST(sum(CAST(floor(value * 1000) AS BIGINT)) AS BIGINT) AS value_millis
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q06_sessionize" ->
+      """WITH flagged AS (
+        |  SELECT user_id, event_id, value, ts,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |           OR epoch(ts) - epoch(lag(ts) OVER w) > 300
+        |         THEN 1 ELSE 0 END AS new_session
+        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |sessions AS (
+        |  SELECT user_id, event_id, value,
+        |    sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                           ROWS UNBOUNDED PRECEDING) AS session_idx
+        |  FROM flagged)
+        |SELECT user_id, session_idx, count(*) AS n_events,
+        |  CAST(sum(CAST(floor(value * 1000) AS BIGINT)) AS BIGINT) AS value_millis
+        |FROM sessions GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "er01_corpus" ->
+      s"""$ErCorpusCte
+         |SELECT id, lang, sha256(content) AS sha256, length(content) AS len
+         |FROM corpus ORDER BY id""".stripMargin,
+    "er02_block_stats" ->
+      s"""$ErCorpusCte
+         |SELECT lang, CAST(floor(length(content) / 64) AS BIGINT) AS bucket,
+         |  count(*) AS n_docs
+         |FROM corpus GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "er03_candidates" ->
+      s"""$ErPairsCte
+         |SELECT id_a, id_b FROM pairs ORDER BY id_a, id_b""".stripMargin,
+    "er04_scores" ->
+      s"""$ErPairsCte
+         |SELECT p.id_a, p.id_b,
+         |  CAST(levenshtein(ca.content, cb.content) AS BIGINT) AS distance
+         |FROM pairs p
+         |JOIN corpus ca ON ca.id = p.id_a
+         |JOIN corpus cb ON cb.id = p.id_b
+         |ORDER BY p.id_a, p.id_b""".stripMargin,
+    "er05_edges" ->
+      s"""$ErPairsCte
+         |SELECT p.id_a, p.id_b
+         |FROM pairs p
+         |JOIN corpus ca ON ca.id = p.id_a
+         |JOIN corpus cb ON cb.id = p.id_b
+         |WHERE levenshtein(ca.content, cb.content) <= 63
+         |ORDER BY p.id_a, p.id_b""".stripMargin,
+    "er06_clusters" ->
+      s"""${ErPairsCte.replaceFirst("WITH ", "WITH RECURSIVE ")},
+         |edges AS (
+         |  SELECT p.id_a AS u, p.id_b AS v FROM pairs p
+         |  JOIN corpus ca ON ca.id = p.id_a
+         |  JOIN corpus cb ON cb.id = p.id_b
+         |  WHERE levenshtein(ca.content, cb.content) <= 63),
+         |bidir AS (SELECT u, v FROM edges UNION SELECT v, u FROM edges),
+         |reach(id, r) AS (
+         |  SELECT id, id FROM corpus
+         |  UNION
+         |  SELECT b.v, reach.r FROM bidir b JOIN reach ON reach.id = b.u
+         |  WHERE reach.r < b.v)
+         |SELECT id, min(r) AS entity FROM reach GROUP BY id ORDER BY id""".stripMargin,
+    "er07_cluster_sizes" ->
+      s"""${ErPairsCte.replaceFirst("WITH ", "WITH RECURSIVE ")},
+         |edges AS (
+         |  SELECT p.id_a AS u, p.id_b AS v FROM pairs p
+         |  JOIN corpus ca ON ca.id = p.id_a
+         |  JOIN corpus cb ON cb.id = p.id_b
+         |  WHERE levenshtein(ca.content, cb.content) <= 63),
+         |bidir AS (SELECT u, v FROM edges UNION SELECT v, u FROM edges),
+         |reach(id, r) AS (
+         |  SELECT id, id FROM corpus
+         |  UNION
+         |  SELECT b.v, reach.r FROM bidir b JOIN reach ON reach.id = b.u
+         |  WHERE reach.r < b.v),
+         |ent AS (SELECT id, min(r) AS entity FROM reach GROUP BY id),
+         |sizes AS (SELECT entity, count(*) AS members FROM ent GROUP BY 1)
+         |SELECT members, count(*) AS n_entities FROM sizes
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "dd01_exact" ->
+      """SELECT sha256(text) AS sha, min(doc_id) AS keep_id, count(*) AS copies
+        |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
+    "dd02_ngram_jaccard" ->
+      s"""$ErPairsCte,
+         |cand AS (SELECT id_a, id_b FROM pairs WHERE id_b - id_a = 1000000),
+         |grams AS (
+         |  SELECT DISTINCT id, g AS gram FROM (
+         |    SELECT id, array_to_string(
+         |      list_slice(string_split(content, ' '), i, i + 1), ' ') AS g
+         |    FROM c, unnest(range(1, len(string_split(content, ' ')))) AS t(i))),
+         |na AS (SELECT id, count(*) AS n FROM grams GROUP BY 1),
+         |inter AS (
+         |  SELECT cand.id_a, cand.id_b, count(*) AS i
+         |  FROM cand JOIN grams ga ON ga.id = cand.id_a
+         |            JOIN grams gb ON gb.id = cand.id_b AND gb.gram = ga.gram
+         |  GROUP BY 1, 2)
+         |SELECT cand.id_a, cand.id_b,
+         |  CAST(coalesce(i, 0) AS DOUBLE) /
+         |    (na.n + nb.n - coalesce(i, 0)) AS jaccard
+         |FROM cand
+         |JOIN na ON na.id = cand.id_a
+         |JOIN na nb ON nb.id = cand.id_b
+         |LEFT JOIN inter ON inter.id_a = cand.id_a AND inter.id_b = cand.id_b
+         |ORDER BY cand.id_a, cand.id_b""".stripMargin,
+    "dd05_embedding_neardup" ->
+      """SELECT a.vec_id AS id_a, b.vec_id AS id_b
+        |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        |WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+        |                             CAST(b.embedding AS DOUBLE[])) >= 0.4
+        |ORDER BY 1, 2""".stripMargin,
+    "ann01_topk" ->
+      """SELECT query_id, item_id, rank FROM (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS item_id,
+        |    row_number() OVER (
+        |      PARTITION BY q.vec_id
+        |      ORDER BY list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+        |                                      CAST(c.embedding AS DOUBLE[])) DESC,
+        |               c.vec_id) AS rank
+        |  FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
+        |  WHERE q.vec_id < 10)
+        |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+    "txt01_quality" ->
+      """SELECT doc_id,
+        |  len(regexp_split_to_array(trim(text), ' +')) AS n_tokens,
+        |  CAST(length(text) - length(regexp_replace(text, '[\.,;:!\?\(\)\{\}]', '', 'g'))
+        |       AS DOUBLE) / length(text) AS punct_ratio,
+        |  CAST(len(list_filter(regexp_split_to_array(trim(text), ' +'),
+        |       t -> t IN ('the','a','of','to','and','in','is','for','on','it')))
+        |       AS DOUBLE) / len(regexp_split_to_array(trim(text), ' +')) AS stopword_ratio,
+        |  CASE WHEN len(regexp_split_to_array(trim(text), ' +')) >= 5
+        |        AND CAST(length(text) - (len(regexp_split_to_array(trim(text), ' +')) - 1)
+        |             AS DOUBLE) / len(regexp_split_to_array(trim(text), ' +')) BETWEEN 2 AND 12
+        |        AND CAST(length(text) - length(regexp_replace(text, '[\.,;:!\?\(\)\{\}]', '', 'g'))
+        |             AS DOUBLE) / length(text) <= 0.3
+        |       THEN 1.0 ELSE 0.0 END AS quality_score
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "txt02_langid" ->
+      """WITH toks AS (
+        |  SELECT doc_id, regexp_split_to_array(lower(trim(text)), ' +') AS t FROM documents),
+        |scores AS (
+        |  SELECT doc_id,
+        |    len(list_filter(t, x -> x IN ('the','and','of','is','for'))) AS s_en,
+        |    len(list_filter(t, x -> x IN ('der','und','die','ist','nicht'))) AS s_de,
+        |    len(list_filter(t, x -> x IN ('el','la','que','los','por'))) AS s_es,
+        |    len(list_filter(t, x -> x IN ('le','la','les','est','dans'))) AS s_fr,
+        |    len(list_filter(t, x -> x IN ('de5','shi4','le5','zai4','wo3'))) AS s_zh
+        |  FROM toks)
+        |SELECT doc_id,
+        |  CASE greatest(s_en, s_de, s_es, s_fr, s_zh)
+        |    WHEN 0 THEN 'und'
+        |    WHEN s_en THEN 'en'
+        |    WHEN s_de THEN 'de'
+        |    WHEN s_es THEN 'es'
+        |    WHEN s_fr THEN 'fr'
+        |    ELSE 'zh' END AS lang_pred
+        |FROM scores ORDER BY doc_id""".stripMargin,
+    "txt03_tokens" ->
+      """SELECT doc_id,
+        |  len(regexp_split_to_array(trim(text), ' +')) AS n_tokens,
+        |  CAST(list_sum(list_transform(regexp_split_to_array(trim(text), ' +'),
+        |       w -> CAST(ceil(length(w) / 4.0) AS BIGINT))) AS BIGINT) AS n_subwords
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "txt04_fingerprint" ->
+      """SELECT doc_id, md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS fp
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "mm01_media_meta" ->
+      """SELECT doc_id AS id,
+        |  CAST(doc_id % 48 + 16 AS INT) AS width,
+        |  CAST(doc_id % 32 + 16 AS INT) AS height,
+        |  CAST(least(octet_length(CAST(text AS BLOB)), 256) AS INT) AS payload_len
+        |FROM documents ORDER BY id""".stripMargin
+  )
 }

@@ -1,0 +1,114 @@
+package graft.core
+
+/** Deterministic 64-bit hashing + MinHash/SimHash signatures.
+  *
+  * All mixing is splitmix64 (public-domain finalizer, Steele et al.,
+  * "Fast Splittable Pseudorandom Number Generators", OOPSLA'14) over an
+  * FNV-1a style byte fold — self-contained, seed-stable across JVMs and
+  * Spark versions (we deliberately do NOT depend on Spark's internal
+  * xxhash so signatures never shift under a Spark upgrade).
+  */
+object Hashing {
+
+  @inline def splitmix64(x0: Long): Long = {
+    var x = x0 + 0x9E3779B97F4A7C15L
+    x = (x ^ (x >>> 30)) * 0xBF58476D1CE4E5B9L
+    x = (x ^ (x >>> 27)) * 0x94D049BB133111EBL
+    x ^ (x >>> 31)
+  }
+
+  /** 64-bit hash of bytes[from, from+len). */
+  def hashBytes(bytes: Array[Byte], from: Int, len: Int, seed: Long): Long = {
+    var h = seed ^ 0xCBF29CE484222325L
+    var i = from
+    val end = from + len
+    while (i < end) {
+      h = (h ^ (bytes(i) & 0xFFL)) * 0x100000001B3L
+      i += 1
+    }
+    splitmix64(h)
+  }
+
+  def hashString(s: String, seed: Long): Long = {
+    val b = s.getBytes("UTF-8")
+    hashBytes(b, 0, b.length, seed)
+  }
+
+  /** MinHash signature over character k-shingles of `bytes`.
+    * One base hash per shingle, then `numHashes` independent mixes
+    * (h_i = splitmix64(h ^ seed_i)) — the standard public construction.
+    * Content shorter than k yields a single whole-content shingle.
+    */
+  def minHashSignature(bytes: Array[Byte], k: Int, numHashes: Int, seed: Long): Array[Long] = {
+    val sig = Array.fill(numHashes)(Long.MaxValue)
+    val n = bytes.length
+    val shingleLen = math.min(k, math.max(n, 1))
+    val positions = math.max(n - shingleLen + 1, if (n == 0) 0 else 1)
+    if (n == 0) {
+      // empty content: signature of the empty shingle
+      var j = 0
+      while (j < numHashes) { sig(j) = splitmix64(seed + j); j += 1 }
+      return sig
+    }
+    var i = 0
+    while (i < positions) {
+      val h = hashBytes(bytes, i, math.min(shingleLen, n - i), seed)
+      var j = 0
+      while (j < numHashes) {
+        val hj = splitmix64(h ^ (seed + 0x5851F42D4C957F2DL * (j + 1)))
+        if (hj < sig(j)) sig(j) = hj
+        j += 1
+      }
+      i += 1
+    }
+    sig
+  }
+
+  /** LSH band hashes: split `sig` into `bands` bands of r = len/bands rows;
+    * hash each band slice. Pairs agreeing on ANY band hash become
+    * candidates (classic MinHash-LSH banding, Leskovec et al. MMDS ch.3). */
+  def bandHashes(sig: Array[Long], bands: Int): Array[Long] = {
+    val r = sig.length / bands
+    require(r >= 1, s"numHashes=${sig.length} < bands=$bands")
+    val out = new Array[Long](bands)
+    var b = 0
+    while (b < bands) {
+      var h = 0x9E3779B97F4A7C15L * (b + 1)
+      var j = b * r
+      val end = j + r
+      while (j < end) { h = splitmix64(h ^ sig(j)); j += 1 }
+      out(b) = h
+      b += 1
+    }
+    out
+  }
+
+  /** 64-bit SimHash over whitespace tokens (Charikar 2002): per-token
+    * 64-bit hash votes +1/-1 on each bit; sign of the sum gives the bit. */
+  def simHash64(text: String, seed: Long): Long = {
+    val votes = new Array[Int](64)
+    var start = 0
+    val n = text.length
+    var i = 0
+    while (i <= n) {
+      if (i == n || text.charAt(i) == ' ' || text.charAt(i) == '\n' || text.charAt(i) == '\t') {
+        if (i > start) {
+          val h = hashString(text.substring(start, i), seed)
+          var b = 0
+          while (b < 64) {
+            if (((h >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
+            b += 1
+          }
+        }
+        start = i + 1
+      }
+      i += 1
+    }
+    var out = 0L
+    var b = 0
+    while (b < 64) { if (votes(b) > 0) out |= (1L << b); b += 1 }
+    out
+  }
+
+  @inline def hamming64(a: Long, b: Long): Int = java.lang.Long.bitCount(a ^ b)
+}

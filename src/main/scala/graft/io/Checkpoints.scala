@@ -1,0 +1,67 @@
+package graft.io
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+import java.nio.file.{Files, Paths}
+import scala.collection.mutable
+
+/** Checkpointed stage runner: every pipeline stage writes a partitioned
+  * Parquet table (Iceberg-shaped layout — a directory per table with
+  * atomic `_SUCCESS` commit markers; swap-in point for an Iceberg catalog
+  * when the runtime jar is available, see SURVEY.md §7) and is read back,
+  * so a killed run resumes at the last completed stage (BASELINE.json
+  * north_rule "resumable from checkpoint"). A lineage row per stage and a
+  * per-partition lineage table for the scoring stage are written alongside
+  * (the Spark re-expression of the reference's wall-time + per-batch debug
+  * metrics, /root/reference/src/aligner.cu:198-233, utils/logger.h:54-59).
+  */
+final class StageRunner(spark: SparkSession, baseDir: String) {
+
+  /** Stage names computed (not resumed) during this run — resume tests
+    * assert on this. */
+  val computed: mutable.ArrayBuffer[String] = mutable.ArrayBuffer.empty
+
+  private def path(name: String) = s"$baseDir/$name"
+
+  private def isComplete(name: String): Boolean =
+    Files.exists(Paths.get(path(name), "_SUCCESS"))
+
+  /** Run (or resume) a stage. `compute` is only invoked when the stage's
+    * checkpoint is absent or incomplete. */
+  def stage(name: String)(compute: => DataFrame): DataFrame = {
+    if (!isComplete(name)) {
+      computed += name
+      val t0 = System.nanoTime()
+      val df = compute
+      df.write.mode(SaveMode.Overwrite).parquet(path(name))
+      val wallMs = (System.nanoTime() - t0) / 1e6
+      writeLineage(name, wallMs)
+    }
+    spark.read.parquet(path(name))
+  }
+
+  private def writeLineage(name: String, wallMs: Double): Unit = {
+    import spark.implicits._
+    val rows = spark.read.parquet(path(name)).count()
+    Seq((name, rows, wallMs))
+      .toDF("stage", "rows", "wall_ms")
+      .write.mode(SaveMode.Overwrite).parquet(s"$baseDir/_lineage/$name")
+  }
+
+  /** Write an arbitrary lineage/metrics table for a stage (e.g. the
+    * per-partition scoring lineage). */
+  def lineage(name: String, df: DataFrame): Unit =
+    df.write.mode(SaveMode.Overwrite).parquet(s"$baseDir/_lineage/$name")
+
+  def readLineage(name: String): DataFrame =
+    spark.read.parquet(s"$baseDir/_lineage/$name")
+
+  /** Drop a stage's checkpoint (test helper to simulate a partial run). */
+  def invalidate(names: String*): Unit = names.foreach { n =>
+    val p = Paths.get(path(n))
+    if (Files.exists(p)) {
+      Files.walk(p).sorted(java.util.Comparator.reverseOrder())
+        .forEach(f => Files.delete(f))
+    }
+  }
+}

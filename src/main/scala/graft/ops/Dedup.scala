@@ -1,0 +1,113 @@
+package graft.ops
+
+import graft.core.Hashing
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for large-scale training-data pipelines, over a
+  * `(id, content, ...)` document table. Each is a declarative DataFrame
+  * transform (shuffle-aware: map-side-combinable groupBys, skinny pair
+  * shuffles, broadcast-eligible small sides). */
+object Dedup {
+
+  /** Exact dedup by content hash: one survivor (min id) per distinct
+    * content; group key is sha2 so the shuffle carries 64-byte keys, not
+    * documents. */
+  def exact(docs: DataFrame, idCol: String = "id", contentCol: String = "content"): DataFrame =
+    docs.select(col(idCol).as("id"), sha2(col(contentCol), 256).as("sha"))
+      .groupBy("sha")
+      .agg(min("id").as("keep_id"), count(lit(1)).as("copies"))
+
+  /** MinHash-LSH near-dup candidate pairs with signature-estimated Jaccard.
+    * (blocking identical to Er.blocks; here signatures are also kept to
+    * estimate similarity without touching content again — the standard
+    * MMDS ch.3 pipeline.) */
+  def minHashPairs(docs: DataFrame, k: Int = 5, numHashes: Int = 64,
+                   bands: Int = 16, threshold: Double = 0.7,
+                   seed: Long = 42L): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val sigs = docs.select(col("id").as[Long], col("content").cast("binary").as[Array[Byte]])
+      .map { case (id, bytes) =>
+        (id, Hashing.minHashSignature(bytes, k, numHashes, seed))
+      }
+      .toDF("id", "sig")
+    val banded = sigs.select(col("id"), col("sig"),
+        posexplode(array((0 until bands).map { b =>
+          val r = numHashes / bands
+          // band hash = xxhash over the band's slice
+          xxhash64(lit(b) +: (b * r until (b + 1) * r).map(j => col("sig")(j)): _*)
+        }: _*)).as(Seq("band", "bhash")))
+      .select("id", "sig", "band", "bhash")
+    val a = banded.select(col("band"), col("bhash"), col("id").as("id_a"), col("sig").as("sig_a"))
+    val b = banded.select(col("band"), col("bhash"), col("id").as("id_b"), col("sig").as("sig_b"))
+    a.join(b, Seq("band", "bhash"))
+      .where(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        (aggregate(zip_with(col("sig_a"), col("sig_b"), (x, y) => when(x === y, 1).otherwise(0)),
+          lit(0), (acc, v) => acc + v).cast("double") / numHashes).as("est_jaccard"))
+      .dropDuplicates("id_a", "id_b")
+      .where(col("est_jaccard") >= threshold)
+  }
+
+  /** SimHash near-dup pairs: 64-bit token SimHash, candidates via the
+    * 4-band Hamming trick (Hamming distance <= 3 implies at least one of
+    * four 16-bit bands matches exactly — Manku et al., WWW'07), verified
+    * with the exact popcount. */
+  def simHashPairs(docs: DataFrame, maxHamming: Int = 3, seed: Long = 42L): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val hashed = docs.select(col("id").as[Long], col("content").as[String])
+      .map { case (id, text) => (id, Hashing.simHash64(text, seed)) }
+      .toDF("id", "simhash")
+    val banded = hashed.select(col("id"), col("simhash"),
+      posexplode(array((0 until 4).map(b =>
+        shiftright(col("simhash"), b * 16).bitwiseAND(lit(0xFFFFL))): _*))
+        .as(Seq("band", "bits")))
+    val a = banded.select(col("band"), col("bits"), col("id").as("id_a"), col("simhash").as("sh_a"))
+    val b = banded.select(col("band"), col("bits"), col("id").as("id_b"), col("simhash").as("sh_b"))
+    a.join(b, Seq("band", "bits"))
+      .where(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        bit_count(col("sh_a").bitwiseXOR(col("sh_b"))).as("hamming"))
+      .dropDuplicates("id_a", "id_b")
+      .where(col("hamming") <= maxHamming)
+  }
+
+  /** Exact word-level n-gram (shingle) Jaccard for given candidate pairs:
+    * distinct word n-grams per side, intersection/union via explode +
+    * joins — pure built-ins, SQL-expressible (DuckDB-oracle-checkable). */
+  def ngramJaccard(docs: DataFrame, pairs: DataFrame, n: Int = 2): DataFrame = {
+    require(n >= 1)
+    val words = split(col("content"), " ")
+    // positions 1..(|words|-n+1), each mapped to the space-joined n-gram
+    val grams0 = when(size(words) >= n,
+      transform(sequence(lit(1), size(words) - n + 1),
+        i => array_join(slice(words, i, lit(n)), " "))
+    ).otherwise(array())
+    val grams = docs.select(col("id"), explode(grams0).as("gram")).distinct()
+    val ga = grams.select(col("id").as("id_a"), col("gram"))
+    val gb = grams.select(col("id").as("id_b"), col("gram"))
+    val inter = pairs.join(ga, "id_a").join(gb, Seq("id_b", "gram"))
+      .groupBy("id_a", "id_b").agg(count(lit(1)).as("inter"))
+    val counts = grams.groupBy("id").agg(count(lit(1)).as("n_grams"))
+    pairs
+      .join(counts.withColumnRenamed("id", "id_a").withColumnRenamed("n_grams", "na"), "id_a")
+      .join(counts.withColumnRenamed("id", "id_b").withColumnRenamed("n_grams", "nb"), "id_b")
+      .join(inter, Seq("id_a", "id_b"), "left_outer")
+      .select(col("id_a"), col("id_b"),
+        (coalesce(col("inter"), lit(0L)).cast("double") /
+          (col("na") + col("nb") - coalesce(col("inter"), lit(0L)))).as("jaccard"))
+  }
+
+  /** Embedding cosine near-duplicate pairs (brute force within id-range
+    * blocks; for the scale path see Similarity.lshCosinePairs). */
+  def embeddingNearDups(embeddings: DataFrame, threshold: Double): DataFrame = {
+    val a = embeddings.select(col("vec_id").as("id_a"), col("embedding").as("va"))
+    val b = embeddings.select(col("vec_id").as("id_b"), col("embedding").as("vb"))
+    a.join(b, col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), Similarity.cosine(col("va"), col("vb")).as("cos"))
+      .where(col("cos") >= threshold)
+  }
+}

@@ -1,0 +1,90 @@
+package graft.ops
+
+import graft.core.Hashing
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for training-data curation, all expressed with
+  * codegen'd built-ins so they run inside whole-stage codegen and their
+  * semantics can be mirrored 1:1 in an external SQL oracle. */
+object TextAnalysis {
+
+  /** Whitespace token count. */
+  def tokenCount(text: Column): Column =
+    size(split(trim(text), " +"))
+
+  /** BPE-ish subword count: words are split every 4 characters (a
+    * deterministic stand-in for a real tokenizer's ~4-chars/token rate):
+    * ceil(len(word)/4) summed over words. */
+  def subwordCount(text: Column): Column =
+    aggregate(split(trim(text), " +"), lit(0L),
+      (acc, w) => acc + ceil(length(w).cast("double") / 4.0).cast("long"))
+
+  /** Quality metrics: length, token stats, punctuation & stopword ratios,
+    * and a composite 0..1 score (standard web-corpus heuristics: e.g.
+    * Gopher rules / C4-style filters, re-expressed as columns). */
+  def quality(docs: DataFrame, contentCol: String = "content"): DataFrame = {
+    val c = col(contentCol)
+    val toks = split(trim(c), " +")
+    val nTok = size(toks)
+    val nChar = length(c)
+    val punct = nChar - length(regexp_replace(c, "[\\.,;:!\\?\\(\\)\\{\\}]", ""))
+    val stop = size(filter(toks, t =>
+      t.isin("the", "a", "of", "to", "and", "in", "is", "for", "on", "it")))
+    docs.withColumn("n_chars_m", nChar)
+      .withColumn("n_tokens", nTok)
+      .withColumn("avg_token_len",
+        when(nTok > 0, (nChar - (nTok - 1)).cast("double") / nTok).otherwise(0.0))
+      .withColumn("punct_ratio",
+        when(nChar > 0, punct.cast("double") / nChar).otherwise(0.0))
+      .withColumn("stopword_ratio",
+        when(nTok > 0, stop.cast("double") / nTok).otherwise(0.0))
+      .withColumn("quality_score",
+        when(nTok >= 5 && col("avg_token_len") >= 2 && col("avg_token_len") <= 12 &&
+          col("punct_ratio") <= 0.3, 1.0).otherwise(0.0))
+  }
+
+  /** N-gram-heuristic language ID: votes from tiny per-language marker
+    * lexicons (deterministic, mirrors cleanly to SQL). Returns the argmax
+    * language code, 'und' when no marker hits. */
+  def langId(text: Column): Column = {
+    val markers: Seq[(String, Seq[String])] = Seq(
+      "en" -> Seq("the", "and", "of", "is", "for"),
+      "de" -> Seq("der", "und", "die", "ist", "nicht"),
+      "es" -> Seq("el", "la", "que", "los", "por"),
+      "fr" -> Seq("le", "la", "les", "est", "dans"),
+      "zh" -> Seq("de5", "shi4", "le5", "zai4", "wo3"))
+    val toks = split(lower(trim(text)), " +")
+    val scores = markers.map { case (lang, ws) =>
+      (lang, size(filter(toks, t => t.isin(ws: _*))))
+    }
+    // argmax with first-wins ties in declaration order
+    val best = scores.map(_._2).reduce((a, b) => greatest(a, b))
+    scores.foldRight(lit("und"): Column) { case ((lang, s), acc) =>
+      when(s === best && best > 0, lit(lang)).otherwise(acc)
+    }
+  }
+
+  /** Content fingerprint: md5 of whitespace-normalized lowercase text
+    * (near-dup-stable normalization + hash; SQL-mirrorable). */
+  def fingerprint(text: Column): Column =
+    md5(lower(regexp_replace(trim(text), "\\s+", " ")))
+
+  /** Rolling polynomial 64-bit fingerprint over tokens (the Rabin-style
+    * rolling hash; Scala-side, for streaming/chunked fingerprinting where
+    * md5-of-whole-doc is not applicable). */
+  def rollingFingerprint(text: String, seed: Long = 42L): Long = {
+    var h = seed ^ 0xCBF29CE484222325L
+    var start = 0
+    val n = text.length
+    var i = 0
+    while (i <= n) {
+      if (i == n || text.charAt(i) == ' ') {
+        if (i > start) h = h * 0x100000001B3L + Hashing.hashString(text.substring(start, i), seed)
+        start = i + 1
+      }
+      i += 1
+    }
+    Hashing.splitmix64(h)
+  }
+}

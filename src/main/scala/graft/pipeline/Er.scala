@@ -1,0 +1,227 @@
+package graft.pipeline
+
+import graft.core.{Hashing, Wfa, WfaWorkspace}
+import org.apache.spark.TaskContext
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** ER pipeline configuration (the Spark re-expression of the reference's
+  * CLI surface, /root/reference/src/aligner.cu:75-139: band generalizes the
+  * fixed max_distance 64; LSH knobs replace the positional pairing). */
+final case class ErConfig(
+    band: Int = 64,          // WFA band; distances >= band saturate
+    tau: Int = 63,           // match threshold: edge iff distance <= tau (< band)
+    shingleK: Int = 5,       // char-shingle length for MinHash
+    numHashes: Int = 63,     // MinHash signature length
+    lshBands: Int = 21,      // bands (r = numHashes/lshBands rows per band)
+    maxBlockSize: Int = 64,  // blocks larger than this are dropped (boilerplate)
+    seed: Long = 42L,
+    emitCigars: Boolean = false) {
+  require(tau < band, s"tau ($tau) must be < band ($band)")
+  require(numHashes % lshBands == 0, "numHashes must be divisible by lshBands")
+}
+
+/** Blocking -> candidate pairs -> WFA scoring -> transitive clustering.
+  *
+  * Dataflow (SURVEY.md §2.2): every heavy op is a declarative DataFrame op
+  * so Catalyst handles pushdown/pruning/AQE; only the scorer itself is a
+  * typed mapPartitions (the reference's GPU kernel slot, SURVEY.md S7).
+  */
+object Er {
+
+  // ---------------------------------------------------------------- blocking
+
+  /** LSH blocks: (id, len, lang, band, bhash). One row per (doc, LSH band).
+    * MinHash over char k-shingles; docs sharing any (lang, band, bhash) key
+    * become candidates. Implemented as a typed flatMap: one signature pass
+    * per doc (cheaper and clearer than exploding shingles to rows, which
+    * would shuffle |doc|*|shingles| rows at 100 TB).
+    */
+  def blocks(corpus: DataFrame, cfg: ErConfig): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val k = cfg.shingleK
+    val nh = cfg.numHashes
+    val nb = cfg.lshBands
+    val seed = cfg.seed
+    corpus.select($"id".as[Long], $"lang".as[String],
+        $"content".cast("binary").as[Array[Byte]])
+      .flatMap { case (id, lang, bytes) =>
+        val sig = Hashing.minHashSignature(bytes, k, nh, seed)
+        val bands = Hashing.bandHashes(sig, nb)
+        val len = bytes.length
+        Iterator.tabulate(bands.length)(b => (id, len, lang, b, bands(b)))
+      }
+      .toDF("id", "len", "lang", "band", "bhash")
+  }
+
+  // ------------------------------------------------------- candidate pairs
+
+  /** Self-join each block on (lang, band, bhash) with id_a < id_b.
+    * Scale levers: (1) mega-blocks (shared boilerplate) are dropped
+    * entirely before the join — a size cap bounds the quadratic blowup and
+    * the skew; (2) the length-difference pre-filter (|lenA-lenB| >= band
+    * implies distance >= band, see Wfa.align) kills pairs before the
+    * pair-dedup shuffle; (3) AQE skew-join splitting handles residual skew.
+    */
+  def candidatePairs(blocks: DataFrame, cfg: ErConfig): DataFrame = {
+    val keys = Seq("lang", "band", "bhash")
+    val sized = blocks.withColumn("bsz",
+      count(lit(1)).over(Window.partitionBy(keys.map(col): _*)))
+    val kept = sized.filter(col("bsz") <= cfg.maxBlockSize).drop("bsz")
+    val a = kept.select(col("lang"), col("band"), col("bhash"),
+      col("id").as("id_a"), col("len").as("len_a"))
+    val b = kept.select(col("lang"), col("band"), col("bhash"),
+      col("id").as("id_b"), col("len").as("len_b"))
+    a.join(b, keys)
+      .where(col("id_a") < col("id_b") &&
+        abs(col("len_a") - col("len_b")) < lit(cfg.band))
+      .select("id_a", "id_b")
+      .dropDuplicates("id_a", "id_b")
+  }
+
+  /** Attach both contents (two equi-joins against the corpus — ids-only
+    * pairs stay skinny through the dedup shuffle; content is joined in
+    * last, once per pair side). */
+  def withContents(pairs: DataFrame, corpus: DataFrame): DataFrame = {
+    val ca = corpus.select(col("id").as("id_a"),
+      col("content").cast("binary").as("bytes_a"))
+    val cb = corpus.select(col("id").as("id_b"),
+      col("content").cast("binary").as("bytes_b"))
+    pairs.join(ca, "id_a").join(cb, "id_b")
+      .select("id_a", "id_b", "bytes_a", "bytes_b")
+  }
+
+  // ----------------------------------------------------------------- scoring
+
+  /** The core operator (reference kernel WF_edit_distance,
+    * /root/reference/src/kernels.cu:182-310): one WfaWorkspace per
+    * partition (primitive arrays reused across pairs — no per-pair churn),
+    * sequential banded WFA per pair. Emits per-pair lineage inputs
+    * (cells expanded, partition id) alongside the score.
+    */
+  def score(pairsWithContents: DataFrame, cfg: ErConfig): DataFrame = {
+    val spark = pairsWithContents.sparkSession
+    import spark.implicits._
+    val band = cfg.band
+    val emitCigars = cfg.emitCigars
+    pairsWithContents
+      .select($"id_a".as[Long], $"id_b".as[Long],
+        $"bytes_a".as[Array[Byte]], $"bytes_b".as[Array[Byte]])
+      .mapPartitions { it =>
+        val ws = new WfaWorkspace(band, withCigar = emitCigars)
+        val part = TaskContext.getPartitionId()
+        it.map { case (ida, idb, a, b) =>
+          val r = Wfa.align(a, b, ws)
+          (ida, idb, r.distance, r.saturated,
+            if (emitCigars) r.cigar else null, r.cells, part)
+        }
+      }
+      .toDF("id_a", "id_b", "distance", "saturated", "cigar", "cells", "part_id")
+  }
+
+  /** Per-partition lineage for the scoring stage (BASELINE.json north_star:
+    * pair count, wavefront cells expanded per partition). */
+  def scoreLineage(scored: DataFrame): DataFrame =
+    scored.groupBy("part_id").agg(
+      count(lit(1)).as("pair_count"),
+      sum("cells").as("cells_expanded"),
+      sum(when(col("saturated"), 1L).otherwise(0L)).as("saturated_count"))
+
+  // -------------------------------------------------------------- clustering
+
+  /** Match edges: scored pairs at or under the threshold. */
+  def edges(scored: DataFrame, cfg: ErConfig): DataFrame =
+    scored.where(!col("saturated") && col("distance") <= lit(cfg.tau))
+      .select("id_a", "id_b")
+
+  /** Iterative large-star/small-star connected components over DataFrames
+    * (Kiveris et al., "Connected Components in MapReduce and Beyond" —
+    * O(log n) rounds, shuffle-bounded; the scale-safe alternative to label
+    * propagation whose round count is the component diameter). Driver loop
+    * with localCheckpoint per round to cut lineage (SURVEY.md §4).
+    *
+    * Returns (id, entity) for every node present in `edgeDf`; entity is the
+    * component's minimum id.
+    */
+  def connectedComponents(edgeDf: DataFrame): DataFrame = {
+    val spark = edgeDf.sparkSession
+
+    def largeStar(e: DataFrame): DataFrame = {
+      val bidir = e.select(col("u"), col("v"))
+        .union(e.select(col("v").as("u"), col("u").as("v")))
+      val mins = bidir.groupBy("u")
+        .agg(min("v").as("mn"))
+        .select(col("u"), least(col("u"), col("mn")).as("m"))
+      bidir.join(mins, "u")
+        .where(col("v") > col("u"))
+        .select(col("v").as("u"), col("m").as("v"))
+        .distinct()
+    }
+
+    def smallStar(e: DataFrame): DataFrame = {
+      // orient each edge toward the larger endpoint: (hi, lo)
+      val oriented = e.select(
+        greatest(col("u"), col("v")).as("u"),
+        least(col("u"), col("v")).as("v"))
+      val mins = oriented.groupBy("u").agg(min("v").as("m"))
+      val moved = oriented.join(mins, "u")
+        .select(col("v").as("u"), col("m").as("v"))
+      val self = mins.select(col("u"), col("m").as("v"))
+      moved.union(self).where(col("u") =!= col("v")).distinct()
+    }
+
+    var e = edgeDf
+      .select(col("id_a").as("u"), col("id_b").as("v"))
+      .where(col("u") =!= col("v"))
+      .distinct()
+      .localCheckpoint()
+    if (e.isEmpty) {
+      return e.select(col("u").as("id"), col("v").as("entity"))
+    }
+
+    var converged = false
+    var iters = 0
+    var sig = signature(e)
+    while (!converged && iters < 50) {
+      val next = smallStar(largeStar(e)).localCheckpoint()
+      val nextSig = signature(next)
+      converged = nextSig == sig
+      sig = nextSig
+      e = next
+      iters += 1
+    }
+    // converged state is a forest of stars rooted at component minima
+    val members = e.select(col("u").as("id"), col("v").as("entity"))
+    val roots = e.select(col("v").as("id"), col("v").as("entity")).distinct()
+    members.union(roots).distinct()
+  }
+
+  private def signature(e: DataFrame): (Long, Long) = {
+    // order-independent, overflow-free (ANSI-safe) edge-set fingerprint
+    val row = e.agg(
+      count(lit(1)).as("c"),
+      coalesce(bit_xor(xxhash64(col("u"), col("v"))), lit(0L)).as("h")).head()
+    (row.getLong(0), row.getLong(1))
+  }
+
+  /** Final entity table: every corpus id mapped to its entity (singletons
+    * map to themselves). */
+  def entities(corpus: DataFrame, components: DataFrame): DataFrame =
+    corpus.select(col("id"))
+      .join(components, Seq("id"), "left_outer")
+      .select(col("id"), coalesce(col("entity"), col("id")).as("entity"))
+
+  // ------------------------------------------------------------ full pipeline
+
+  /** End-to-end, unchckpointed (testing / small inputs). Returns
+    * (id, entity). */
+  def run(corpus: DataFrame, cfg: ErConfig): DataFrame = {
+    val b = blocks(corpus, cfg)
+    val pairs = candidatePairs(b, cfg)
+    val scored = score(withContents(pairs, corpus), cfg)
+    val comps = connectedComponents(edges(scored, cfg))
+    entities(corpus, comps)
+  }
+}

@@ -1,0 +1,32 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Driver-contract smoke: entry() returns rows; every query runs on
+  * sf0.001; oracle keys are a subset of query keys. (Value-level oracle
+  * parity is checked by the driver's DuckDB gate and locally via
+  * tools/check_oracle.py.) */
+class SparkEntrySpec extends AnyFunSuite with SparkTestBase {
+
+  test("entry: flagship ER pipeline returns non-singleton entities") {
+    val out = SparkEntry.entry(spark)
+    val n = out.count()
+    assert(n > 0, "flagship must produce clustered entities")
+    // planted near-dups: ~100 pairs at sf0.001 -> expect >= 80 clusters
+    assert(n >= 80, s"expected >=80 clusters from planted dups, got $n")
+  }
+
+  test("all queries run on sf0.001 and the oracle map is consistent") {
+    val dir = "/root/testdata/sf0.001"
+    SparkEntry.queries.foreach { case (name, fn) =>
+      val rows = fn(spark, dir).count()
+      withClue(s"$name: ") {
+        assert(rows >= 0)
+        if (name != "dd05_embedding_neardup") // legitimately small/empty-able
+          assert(rows > 0, s"$name returned no rows")
+      }
+    }
+    val unknown = SparkEntry.oracleSql.keySet diff SparkEntry.queries.keySet
+    assert(unknown.isEmpty, s"oracleSql keys without queries: $unknown")
+  }
+}

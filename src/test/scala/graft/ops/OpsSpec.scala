@@ -1,0 +1,134 @@
+package graft.ops
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Training-data pipeline operators: dedup family, similarity search,
+  * text analysis, multimodal plumbing. */
+class OpsSpec extends AnyFunSuite with SparkTestBase {
+
+  import spark.implicits._
+
+  private lazy val docs = {
+    val base = Seq(
+      (0L, "the quick brown fox jumps over the lazy dog again and again"),
+      (1L, "the quick brown fox jumps over the lazy dog again and again"), // exact dup of 0
+      (2L, "the quick brown fox jumps over the lazy cat again and again"), // near dup of 0
+      (3L, "completely different content about spark dataframes and shuffles"),
+      (4L, "completely different content about spark dataframes and shuffle"), // near dup of 3
+      (5L, "unrelated text mentioning wavefront alignment and edit distance"))
+    base.toDF("id", "content")
+  }
+
+  test("exact dedup groups identical contents only") {
+    val out = Dedup.exact(docs).collect()
+    assert(out.length == 5) // 6 docs, one exact-dup pair
+    val dupGroup = out.find(_.getLong(2) == 2L)
+    assert(dupGroup.isDefined && dupGroup.get.getLong(1) == 0L) // keep_id = min
+  }
+
+  test("minhash LSH finds near-dups, skips unrelated") {
+    val pairs = Dedup.minHashPairs(docs, threshold = 0.5)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((0L, 1L)), s"exact dup must collide: $pairs")
+    assert(pairs.contains((0L, 2L)) || pairs.contains((1L, 2L)), s"near dup: $pairs")
+    assert(pairs.contains((3L, 4L)), s"near dup: $pairs")
+    assert(!pairs.exists { case (a, b) => (a <= 2 && b == 5) || (a == 5) })
+  }
+
+  test("simhash hamming pairs find near-dups (long docs; simhash needs volume)") {
+    val base = (1 to 80).map(i => s"token$i").mkString(" ")
+    val longDocs = Seq(
+      (0L, base),
+      (1L, base),                                     // exact dup
+      (2L, base.replace("token40", "changed")),       // 1 of 80 tokens changed
+      (3L, (1 to 80).map(i => s"other$i").mkString(" "))
+    ).toDF("id", "content")
+    val pairs = Dedup.simHashPairs(longDocs, maxHamming = 8)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((0L, 1L)))
+    assert(pairs.contains((0L, 2L)) && pairs.contains((1L, 2L)))
+    assert(!pairs.exists { case (_, b) => b == 3L })
+  }
+
+  test("ngram jaccard: exact dup = 1.0, near dup high, shape matches oracle semantics") {
+    val pairs = Seq((0L, 1L), (0L, 2L), (0L, 5L)).toDF("id_a", "id_b")
+    val out = Dedup.ngramJaccard(docs, pairs, n = 2).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(out((0L, 1L)) == 1.0)
+    assert(out((0L, 2L)) > 0.5 && out((0L, 2L)) < 1.0)
+    assert(out((0L, 5L)) < 0.1)
+  }
+
+  test("brute-force cosine topk is exact and deterministic") {
+    val vecs = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f)),
+      (1L, Array(0.9f, 0.1f, 0.0f)),
+      (2L, Array(0.0f, 1.0f, 0.0f)),
+      (3L, Array(0.0f, 0.0f, 1.0f))).toDF("vec_id", "embedding")
+      .select(col("vec_id"), transform(col("embedding"), _.cast("double")).as("embedding"))
+    val top = Similarity.bruteForceTopK(vecs.where(col("vec_id") === 0), vecs, k = 2)
+      .orderBy("rank").collect()
+    assert(top.map(_.getLong(1)).toSeq == Seq(1L, 2L))
+  }
+
+  test("LSH cosine pairs: near-identical vectors share buckets") {
+    val n = 50
+    val vecs = spark.range(n).select(col("id").as("vec_id"),
+      transform(sequence(lit(0), lit(15)),
+        i => (sin(col("vec_id") * 37 + i) + lit(2.0))).as("embedding"))
+    val twin = vecs.select((col("vec_id") + 1000).as("vec_id"), col("embedding"))
+    val all = vecs.unionAll(twin)
+    val pairs = Similarity.lshCosinePairs(all, threshold = 0.999, nPlanes = 6)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // identical twins have cosine 1.0 and identical sign bits -> always found
+    assert((0L until n).forall(i => pairs.contains((i, i + 1000))))
+  }
+
+  test("text analysis: tokens, quality, langid, fingerprint") {
+    val d = Seq((0L, "the cat is on the mat."), (1L, "der hund ist nicht hier"),
+      (2L, "???!!!...")).toDF("doc_id", "content")
+    val q = TextAnalysis.quality(d).collect().map(r =>
+      r.getLong(0) -> (r.getAs[Int]("n_tokens"), r.getAs[Double]("punct_ratio"))).toMap
+    assert(q(0L)._1 == 6)
+    assert(q(0L)._2 > 0 && q(0L)._2 < 0.1)
+    val langs = d.select(col("doc_id"), TextAnalysis.langId(col("content")).as("l"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(langs(0L) == "en" && langs(1L) == "de" && langs(2L) == "und")
+    val fp = d.select(TextAnalysis.fingerprint(col("content"))).collect()
+    assert(fp.map(_.getString(0)).distinct.length == 3)
+    // normalization: whitespace-insensitive
+    val fp2 = Seq(("the  cat   is on the mat.", "the cat is on the mat."))
+      .toDF("a", "b")
+      .select(TextAnalysis.fingerprint(col("a")).as("fa"),
+        TextAnalysis.fingerprint(col("b")).as("fb")).head()
+    assert(fp2.getString(0) == fp2.getString(1))
+  }
+
+  test("rolling fingerprint is deterministic and content-sensitive") {
+    val a = TextAnalysis.rollingFingerprint("one two three")
+    assert(a == TextAnalysis.rollingFingerprint("one two three"))
+    assert(a != TextAnalysis.rollingFingerprint("one two four"))
+  }
+
+  test("multimodal: encode -> extract roundtrip, frame sampling shape") {
+    val media = Multimodal.synthesizeMedia(docs)
+    val meta = Multimodal.extractMeta(media).collect()
+      .map(m => m.getAs[Long]("id") -> m).toMap
+    assert(meta.size == 6)
+    docs.collect().foreach { r =>
+      val id = r.getLong(0)
+      val m = meta(id)
+      assert(m.getAs[Int]("width") == (id % 48 + 16).toInt)
+      assert(m.getAs[Int]("height") == (id % 32 + 16).toInt)
+      assert(m.getAs[Int]("payload_len") == math.min(r.getString(1).length, 256))
+    }
+    val frames = Multimodal.sampleFrames(media, everyNth = 2).collect()
+    assert(frames.nonEmpty)
+    assert(frames.forall(_._3.length == 16))
+    // corrupt blob fails loudly
+    val bad = Seq((99L, Array[Byte](1, 2, 3))).toDF("id", "media")
+    intercept[Exception] { Multimodal.extractMeta(bad).collect() }
+  }
+}

@@ -1,0 +1,154 @@
+package graft.pipeline
+
+import graft.SparkTestBase
+import graft.core.Levenshtein
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** End-to-end ER pipeline tests: pairwise F1 >= 0.99 against exact
+  * DP-oracle ground truth (BASELINE.json metric), connected-components
+  * correctness, resume-from-checkpoint, and the sha256 invariant
+  * (SURVEY.md §5.2 items 3, 4, 6). */
+class ErPipelineSpec extends AnyFunSuite with SparkTestBase {
+
+  private val cfg = ErConfig()
+  private val genCfg = Corpus.GenConfig(nGroups = 120, partitions = 8)
+
+  private lazy val corpus = Corpus.withDerived(
+    Corpus.generate(spark, genCfg).toDF()).cache()
+
+  /** Exact ground truth: all intra-group pairs labeled by DP distance <= tau.
+    * Cross-group pairs are non-matches by construction (independent random
+    * bases, length >= 300 - even the closest cross pair is far above tau;
+    * spot-checked below). */
+  private lazy val truePairs: Set[(Long, Long)] = {
+    val byGroup = corpus.select("id", "content").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+      .groupBy(_._1 / Corpus.IdStride)
+    val out = Set.newBuilder[(Long, Long)]
+    byGroup.values.foreach { members =>
+      for {
+        i <- members.indices
+        j <- (i + 1) until members.length
+      } {
+        val (ida, ca) = members(i)
+        val (idb, cb) = members(j)
+        if (Levenshtein.distance(ca, cb) <= cfg.tau)
+          out += ((math.min(ida, idb), math.max(ida, idb)))
+      }
+    }
+    out.result()
+  }
+
+  test("corpus generation is deterministic and well-formed") {
+    val again = Corpus.withDerived(Corpus.generate(spark, genCfg).toDF())
+    assert(corpus.count() == again.count())
+    assert(corpus.except(again).isEmpty && again.except(corpus).isEmpty)
+    assert(corpus.where(col("content").isNull || length(col("content")) === 0).isEmpty)
+    // planted structure exists
+    assert(truePairs.nonEmpty, "generator must plant duplicate pairs")
+  }
+
+  test("cross-group pairs are far above tau (ground-truth sanity)") {
+    val sample = corpus.select("id", "content").collect()
+      .map(r => (r.getLong(0), r.getString(1))).take(30)
+    val cross = for {
+      (ida, ca) <- sample; (idb, cb) <- sample
+      if ida / Corpus.IdStride < idb / Corpus.IdStride
+    } yield Levenshtein.distance(ca, cb)
+    assert(cross.nonEmpty && cross.min > cfg.tau * 2)
+  }
+
+  test("pipeline pairwise F1 >= 0.99 against DP-oracle labels") {
+    val scored = Er.score(
+      Er.withContents(Er.candidatePairs(Er.blocks(corpus, cfg), cfg), corpus), cfg)
+    val predicted = Er.edges(scored, cfg).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+
+    val tp = (predicted intersect truePairs).size.toDouble
+    val fp = (predicted diff truePairs).size.toDouble
+    val fn = (truePairs diff predicted).size.toDouble
+    val precision = if (tp + fp == 0) 1.0 else tp / (tp + fp)
+    val recall = if (tp + fn == 0) 1.0 else tp / (tp + fn)
+    val f1 = if (precision + recall == 0) 0.0 else 2 * precision * recall / (precision + recall)
+    info(f"truth=${truePairs.size} predicted=${predicted.size} P=$precision%.4f R=$recall%.4f F1=$f1%.4f")
+    assert(f1 >= 0.99, f"pairwise F1 $f1%.4f below 0.99 (P=$precision%.4f R=$recall%.4f)")
+    // WFA scoring makes precision exact by construction
+    assert(precision == 1.0)
+  }
+
+  test("scored distances match the DP oracle exactly (sampled)") {
+    val scored = Er.score(
+      Er.withContents(Er.candidatePairs(Er.blocks(corpus, cfg), cfg), corpus), cfg)
+    val contents = corpus.select("id", "content").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val rows = scored.limit(200).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (ida, idb, d, sat) = (r.getLong(0), r.getLong(1), r.getInt(2), r.getBoolean(3))
+      val ref = Levenshtein.distance(contents(ida), contents(idb))
+      if (sat) assert(ref >= cfg.band, s"pair ($ida,$idb): saturated but ref=$ref")
+      else assert(d == ref, s"pair ($ida,$idb): wfa=$d ref=$ref")
+    }
+  }
+
+  test("connected components: known graph") {
+    import spark.implicits._
+    // components: {1,2,3,4,5} (path), {10,11} and {20} implicit singleton
+    val e = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (10L, 11L))
+      .toDF("id_a", "id_b")
+    val comps = Er.connectedComponents(e).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(Seq(1L, 2L, 3L, 4L, 5L).forall(comps(_) == 1L))
+    assert(comps(10L) == 10L && comps(11L) == 10L)
+  }
+
+  test("connected components: empty edges") {
+    import spark.implicits._
+    val e = Seq.empty[(Long, Long)].toDF("id_a", "id_b")
+    assert(Er.connectedComponents(e).isEmpty)
+  }
+
+  test("entities: transitive clustering groups duplicates; sha256 invariant holds") {
+    val entities = Er.run(corpus, cfg)
+    assert(entities.count() == corpus.count())
+    // sha256 multiset is preserved end-to-end (join back on id)
+    val joined = corpus.join(entities, "id")
+    assert(joined.count() == corpus.count())
+    val shaIn = corpus.agg(sum(crc32(col("sha256")))).head().getLong(0)
+    val shaOut = joined.agg(sum(crc32(col("sha256")))).head().getLong(0)
+    assert(shaIn == shaOut)
+    // every true pair ends in the same entity (transitivity may merge more)
+    val ent = entities.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val violations = truePairs.filterNot { case (a, b) => ent(a) == ent(b) }
+    assert(violations.size <= math.max(1, truePairs.size / 100),
+      s"${violations.size}/${truePairs.size} true pairs split across entities")
+  }
+
+  test("resume: completed stages are not recomputed; output identical") {
+    val dir = java.nio.file.Files.createTempDirectory("er-resume").toString
+    val r1 = ErRunner.run(spark, dir, cfg)(Corpus.generate(spark, genCfg).toDF())
+    assert(r1.computed == ErRunner.Stages)
+    val ent1 = spark.read.parquet(s"$dir/entities").collect().toSet
+
+    // kill after 'scored': drop downstream checkpoints, re-run
+    val r2 = new graft.io.StageRunner(spark, dir)
+    r2.invalidate("edges", "entities")
+    val r3 = ErRunner.run(spark, dir, cfg)(
+      sys.error("corpus must not be recomputed on resume"))
+    assert(r3.computed == Seq("edges", "entities"))
+    val ent2 = spark.read.parquet(s"$dir/entities").collect().toSet
+    assert(ent1 == ent2)
+
+    // untouched second run resumes everything
+    val r4 = ErRunner.run(spark, dir, cfg)(
+      sys.error("corpus must not be recomputed on full resume"))
+    assert(r4.computed.isEmpty)
+
+    // per-partition scoring lineage was written and accounts for all pairs
+    val lin = r1.readLineage("scored_partitions")
+    val pairTotal = spark.read.parquet(s"$dir/scored").count()
+    assert(lin.agg(sum("pair_count")).head().getLong(0) == pairTotal)
+    assert(lin.agg(sum("cells_expanded")).head().getLong(0) > 0L)
+  }
+}

@@ -1,0 +1,53 @@
+package graft.streaming
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import org.scalatest.funsuite.AnyFunSuite
+import java.sql.Timestamp
+
+class EventStreamSpec extends AnyFunSuite with SparkTestBase {
+
+  import spark.implicits._
+
+  private def ts(sec: Long) = new Timestamp(sec * 1000)
+
+  test("windowed counts over a real stream (file source -> memory sink)") {
+    // stage the driver's events table as a streaming source directory
+    val dir = java.nio.file.Files.createTempDirectory("events-stream").toString
+    spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+      .withColumn("ts", col("ts").cast("timestamp"))
+      .write.mode("overwrite").parquet(dir)
+
+    val q = EventStream.streamFromParquetDir(spark, dir)
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("win_counts")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+
+    val streamed = spark.table("win_counts")
+      .select(col("window.start").as("ws"), col("event_type"), col("n"))
+    val batch = EventStream.windowedCounts(
+        spark.read.parquet(dir))
+      .select(col("window.start").as("ws"), col("event_type"), col("n"))
+    // stream (complete mode, no late data) == batch result
+    assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty)
+    assert(streamed.count() > 0)
+  }
+
+  test("sessionizer: gap splits sessions; totals preserved") {
+    val events = Seq(
+      EventStream.Event(1, ts(0), 7L, "a", 1.0),
+      EventStream.Event(2, ts(10), 7L, "a", 2.0),
+      EventStream.Event(3, ts(1000), 7L, "b", 3.0), // gap > 60 -> new session
+      EventStream.Event(4, ts(1010), 7L, "b", 4.0),
+      EventStream.Event(5, ts(5), 8L, "a", 5.0)
+    ).toDS()
+    val sessions = EventStream.sessionize(events, gapSeconds = 60).collect()
+    assert(sessions.count(_.user_id == 7L) == 2)
+    assert(sessions.count(_.user_id == 8L) == 1)
+    val u7 = sessions.filter(_.user_id == 7L).sortBy(_.start_ts.getTime)
+    assert(u7(0).n_events == 2 && u7(0).total_value == 3.0)
+    assert(u7(1).n_events == 2 && u7(1).total_value == 7.0)
+  }
+}
