@@ -79,9 +79,14 @@ object SparkEntry {
     import spark.implicits._
     val corpus = erInput(spark, dir)
     val pairs = erCandidates(spark, dir)
-    val withBytes = pairs
+    val withBytes0 = pairs
       .join(corpus.select(col("id").as("id_a"), col("content").cast("binary").as("ba")), "id_a")
       .join(corpus.select(col("id").as("id_b"), col("content").cast("binary").as("bb")), "id_b")
+    // parallelism floor for the CPU-bound scorer (see Er.score)
+    val target = spark.sparkContext.defaultParallelism * 4
+    val withBytes =
+      if (withBytes0.rdd.getNumPartitions < target) withBytes0.repartition(target)
+      else withBytes0
     withBytes.select($"id_a".as[Long], $"id_b".as[Long], $"ba".as[Array[Byte]], $"bb".as[Array[Byte]])
       .mapPartitions { it =>
         val ws = new WfaWorkspace(1024, withCigar = false)

@@ -46,7 +46,11 @@ object Corpus {
     val target = minLen + rnd.nextInt(maxLen - minLen + 1)
     val sb = new StringBuilder(target + 16)
     while (sb.length < target) {
-      sb.append(Vocab(rnd.nextInt(Vocab.length)))
+      // half keywords, half identifiers from a large pool — real code mixes
+      // a small keyword set with a long tail of identifiers (keeps
+      // cross-file shingle overlap realistic, unlike a pure-keyword soup)
+      if (rnd.nextBoolean()) sb.append(Vocab(rnd.nextInt(Vocab.length)))
+      else { sb.append("id"); sb.append(rnd.nextInt(5000)) }
       sb.append(if (rnd.nextInt(8) == 0) '\n' else ' ')
     }
     sb.toString

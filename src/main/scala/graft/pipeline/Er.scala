@@ -15,7 +15,8 @@ final case class ErConfig(
     shingleK: Int = 5,       // char-shingle length for MinHash
     numHashes: Int = 63,     // MinHash signature length
     lshBands: Int = 21,      // bands (r = numHashes/lshBands rows per band)
-    maxBlockSize: Int = 64,  // blocks larger than this are dropped (boilerplate)
+    maxBlockSize: Int = 16,  // blocks larger than this are dropped (boilerplate;
+                             // join work grows as sum(blockSize^2) — see BASELINE.md)
     seed: Long = 42L,
     emitCigars: Boolean = false) {
   require(tau < band, s"tau ($tau) must be < band ($band)")
@@ -106,7 +107,15 @@ object Er {
     import spark.implicits._
     val band = cfg.band
     val emitCigars = cfg.emitCigars
-    pairsWithContents
+    // CPU-bound stage: AQE sizes partitions by bytes and will coalesce a
+    // small-byte but compute-heavy input below core count — keep a floor of
+    // 4x parallelism (no-op when the input is already wide, i.e. at scale)
+    val target = spark.sparkContext.defaultParallelism * 4
+    val input =
+      if (pairsWithContents.rdd.getNumPartitions < target)
+        pairsWithContents.repartition(target)
+      else pairsWithContents
+    input
       .select($"id_a".as[Long], $"id_b".as[Long],
         $"bytes_a".as[Array[Byte]], $"bytes_b".as[Array[Byte]])
       .mapPartitions { it =>
