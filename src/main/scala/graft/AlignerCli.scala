@@ -1,0 +1,94 @@
+package graft
+
+import graft.core.{Wfa, WfaWorkspace}
+import graft.sources.SequenceFile
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** CLI with the reference's argument surface
+  * (/root/reference/src/aligner.cu:75-139):
+  *
+  *   -f <file>        sequence file of `>pattern` / `<text` line pairs
+  *   -n <num>         number of alignments to read (0 = all)
+  *   -l <len>         max sequence length (accepted for interop; the Spark
+  *                    engine sizes buffers dynamically)
+  *   -b <batch>       batch size -> partition size (pairs per task)
+  *   -t <threads>     worker threads -> local[t] cores
+  *   -p               print CIGARs ("idx: cigar", reference
+  *                    src/wavefront.cu:293-300)
+  *   -d <band>        max distance band (reference fixed 64,
+  *                    wavefront_structures.h:62; configurable here)
+  *
+  * A user of the reference CLI can run the same file through this entry
+  * point and get the same distances and CIGARs (golden-tested).
+  */
+object AlignerCli {
+
+  final case class Config(file: String = "", num: Long = 0, seqLen: Int = 0,
+                          batch: Int = 4096, threads: Int = 0,
+                          print: Boolean = false, band: Int = 64)
+
+  def parseArgs(args: Array[String]): Config = {
+    var c = Config()
+    var i = 0
+    while (i < args.length) {
+      args(i) match {
+        case "-f" => c = c.copy(file = args(i + 1)); i += 2
+        case "-n" => c = c.copy(num = args(i + 1).toLong); i += 2
+        case "-l" => c = c.copy(seqLen = args(i + 1).toInt); i += 2
+        case "-b" => c = c.copy(batch = args(i + 1).toInt); i += 2
+        case "-t" => c = c.copy(threads = args(i + 1).toInt); i += 2
+        case "-p" => c = c.copy(print = true); i += 1
+        case "-d" => c = c.copy(band = args(i + 1).toInt); i += 2
+        case other => throw new IllegalArgumentException(s"unknown option $other")
+      }
+    }
+    require(c.file.nonEmpty, "usage: AlignerCli -f <file> [-n num] [-b batch] [-t threads] [-d band] [-p]")
+    c
+  }
+
+  /** The alignment job: read pairs, score with banded WFA, return
+    * (pair_id, distance, saturated, cigar). */
+  def run(spark: SparkSession, c: Config): DataFrame = {
+    import spark.implicits._
+    var pairs = SequenceFile.read(spark, c.file)
+    if (c.num > 0) pairs = pairs.where(col("pair_id") < c.num)
+    val band = c.band
+    val n = math.max(pairs.count(), 1L)
+    val parts = math.max((n / math.max(c.batch, 1)).toInt, 1)
+    pairs
+      .repartition(parts, col("pair_id"))
+      .select($"pair_id".as[Long],
+        $"pattern".cast("binary").as[Array[Byte]],
+        $"text".cast("binary").as[Array[Byte]])
+      .mapPartitions { it =>
+        val ws = new WfaWorkspace(band, withCigar = true)
+        it.map { case (id, p, t) =>
+          val r = Wfa.align(p, t, ws)
+          (id, r.distance, r.saturated, r.cigar)
+        }
+      }
+      .toDF("pair_id", "distance", "saturated", "cigar")
+  }
+
+  def main(args: Array[String]): Unit = {
+    val c = parseArgs(args)
+    val cores = if (c.threads > 0) c.threads.toString else "*"
+    val spark = SparkSession.builder()
+      .master(s"local[$cores]")
+      .appName("graft-aligner")
+      .config("spark.driver.host", "127.0.0.1")
+      .config("spark.driver.bindAddress", "127.0.0.1")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val t0 = System.nanoTime()
+    val out = run(spark, c).orderBy("pair_id").collect()
+    val wall = (System.nanoTime() - t0) / 1e9
+    if (c.print) out.foreach { r =>
+      println(s"${r.getLong(0)}: ${if (r.getBoolean(2)) "*" else r.getString(3)}")
+    }
+    println(f"Alignment executed. Pairs: ${out.length}, wall time $wall%.3fs")
+    spark.stop()
+  }
+}

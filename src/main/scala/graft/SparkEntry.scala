@@ -95,6 +95,30 @@ object SparkEntry {
       .toDF("id_a", "id_b", "distance")
   }
 
+  /** Band-64 scoring with CIGARs on matched pairs: the edit-op-count
+    * invariant #(X)+#(I)+#(D) == distance (reference replay loop,
+    * /root/reference/src/wavefront.cuh:201) is cross-checked against
+    * DuckDB's levenshtein by the er09 oracle. */
+  private def erEdgeCigarStats(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val corpus = erInput(spark, dir)
+    val pairs = erCandidates(spark, dir)
+    val withBytes = pairs
+      .join(corpus.select(col("id").as("id_a"), col("content").cast("binary").as("ba")), "id_a")
+      .join(corpus.select(col("id").as("id_b"), col("content").cast("binary").as("bb")), "id_b")
+      .repartition(spark.sparkContext.defaultParallelism * 4)
+    withBytes.select($"id_a".as[Long], $"id_b".as[Long], $"ba".as[Array[Byte]], $"bb".as[Array[Byte]])
+      .mapPartitions { it =>
+        val ws = new WfaWorkspace(64, withCigar = true)
+        it.flatMap { case (a, b, pa, pb) =>
+          val r = Wfa.align(pa, pb, ws)
+          if (r.saturated) None
+          else Some((a, b, graft.core.CigarOps.counts(r.cigar).edits))
+        }
+      }
+      .toDF("id_a", "id_b", "edit_ops")
+  }
+
   // ------------------------------------------------------------------ entry
 
   /** Flagship: the full ER pipeline (MinHash-LSH blocking -> salted
@@ -213,6 +237,8 @@ object SparkEntry {
         .groupBy("members").agg(count(lit(1)).as("n_entities"))
         .orderBy("members")
     }),
+    "er09_cigar_edit_ops" -> ((s, dir) =>
+      erEdgeCigarStats(s, dir).orderBy("id_a", "id_b")),
     // LSH blocking stats (non-SQL-expressible: MinHash signatures; driver
     // does the rows-only check, correctness covered by ErPipelineSpec)
     "er08_lsh_block_stats" -> ((s, dir) => {
@@ -413,6 +439,15 @@ object SparkEntry {
          |sizes AS (SELECT entity, count(*) AS members FROM ent GROUP BY 1)
          |SELECT members, count(*) AS n_entities FROM sizes
          |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "er09_cigar_edit_ops" ->
+      s"""$ErPairsCte
+         |SELECT p.id_a, p.id_b,
+         |  CAST(levenshtein(ca.content, cb.content) AS BIGINT) AS edit_ops
+         |FROM pairs p
+         |JOIN corpus ca ON ca.id = p.id_a
+         |JOIN corpus cb ON cb.id = p.id_b
+         |WHERE levenshtein(ca.content, cb.content) <= 63
+         |ORDER BY p.id_a, p.id_b""".stripMargin,
     "dd01_exact" ->
       """SELECT sha256(text) AS sha, min(doc_id) AS keep_id, count(*) AS copies
         |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
