@@ -102,8 +102,40 @@ object Wfa {
   def align(pattern: Array[Byte], text: Array[Byte], ws: WfaWorkspace): WfaResult =
     align(pattern, pattern.length, text, text.length, ws)
 
+  /** Distance path: strips the common prefix and suffix before running the
+    * wavefront — unit-cost edit distance is invariant under common-affix
+    * removal, so near-duplicate pairs (the dominant ER case) collapse to a
+    * core of ~2·distance bytes.
+    *
+    * CIGAR mode always runs the raw wavefront: the reference's piggybacked
+    * tie-break (DEL>SUB>INS) can choose a different equal-cost path when
+    * the affix context is removed (found by property test — e.g.
+    * ACTATACCGCACAG vs ACTATCCGGCACAG yields 1D...1I raw but 1X...1X
+    * trimmed), and exact CIGAR parity with the reference outranks speed
+    * there. */
   def align(pattern: Array[Byte], plen: Int, text: Array[Byte], tlen: Int,
             ws: WfaWorkspace): WfaResult = {
+    if (ws.withCigar) return alignNoTrim(pattern, plen, text, tlen, ws)
+    val m = Arrays.mismatch(pattern, 0, plen, text, 0, tlen)
+    val pre = if (m < 0) math.min(plen, tlen) else m
+    var suf = 0
+    val maxSuf = math.min(plen, tlen) - pre
+    while (suf < maxSuf && pattern(plen - 1 - suf) == text(tlen - 1 - suf)) suf += 1
+    // only pay the slice copies when the affixes dominate the pair
+    if ((pre + suf).toLong * 4 < math.min(plen, tlen))
+      return alignNoTrim(pattern, plen, text, tlen, ws)
+    if (pre + suf == plen && plen == tlen)
+      return WfaResult(0, saturated = false, null, 1L)
+    val coreP = Arrays.copyOfRange(pattern, pre, plen - suf)
+    val coreT = Arrays.copyOfRange(text, pre, tlen - suf)
+    alignNoTrim(coreP, coreP.length, coreT, coreT.length, ws)
+  }
+
+  /** The raw banded wavefront (no affix trimming) — the direct
+    * re-expression of the reference kernel. */
+  private[core] def alignNoTrim(pattern: Array[Byte], plen: Int,
+                                text: Array[Byte], tlen: Int,
+                                ws: WfaWorkspace): WfaResult = {
     val band = ws.band
     val c = ws.center
     ws.reset()

@@ -15,8 +15,11 @@ final case class ErConfig(
     shingleK: Int = 5,       // char-shingle length for MinHash
     numHashes: Int = 63,     // MinHash signature length
     lshBands: Int = 21,      // bands (r = numHashes/lshBands rows per band)
-    maxBlockSize: Int = 16,  // blocks larger than this are dropped (boilerplate;
-                             // join work grows as sum(blockSize^2) — see BASELINE.md)
+    maxBlockSize: Int = 16,  // blocks up to this size self-join directly
+    saltedMaxBlockSize: Int = 64, // blocks (maxBlockSize, this] use the salted
+                             // triangle join; anything larger is dropped as
+                             // boilerplate (join work grows as sum(blockSize^2))
+    saltBuckets: Int = 4,    // salt fan-out for the triangle join
     seed: Long = 42L,
     emitCigars: Boolean = false) {
   require(tau < band, s"tau ($tau) must be < band ($band)")
@@ -60,26 +63,66 @@ object Er {
   // ------------------------------------------------------- candidate pairs
 
   /** Self-join each block on (lang, band, bhash) with id_a < id_b.
-    * Scale levers: (1) mega-blocks (shared boilerplate) are dropped
-    * entirely before the join — a size cap bounds the quadratic blowup and
-    * the skew; (2) the length-difference pre-filter (|lenA-lenB| >= band
-    * implies distance >= band, see Wfa.align) kills pairs before the
-    * pair-dedup shuffle; (3) AQE skew-join splitting handles residual skew.
+    * Scale levers (BASELINE.json north_star "salted self-joins to break
+    * skew on mega-repos"):
+    *  (1) small blocks (<= maxBlockSize) self-join directly;
+    *  (2) mid-size blocks (<= saltedMaxBlockSize) go through a salted
+    *      TRIANGLE join: each member gets a deterministic salt bucket
+    *      r in [0, k); side A replicates a member to bucket-pairs (r, j>=r),
+    *      side B to (i<=r, r); the equi-join key (lang, band, bhash, i, j)
+    *      splits one quadratic hot block into k(k+1)/2 evenly-sized join
+    *      cells, so no single task owns a whole hot block;
+    *  (3) mega-blocks beyond saltedMaxBlockSize (shared boilerplate — the
+    *      license-header pathology) are dropped outright;
+    *  (4) the length-difference pre-filter (|lenA-lenB| >= band implies
+    *      distance >= band, see Wfa.align) kills pairs before the
+    *      pair-dedup shuffle; AQE skew-join handles residual imbalance.
     */
   def candidatePairs(blocks: DataFrame, cfg: ErConfig): DataFrame = {
     val keys = Seq("lang", "band", "bhash")
+    val k = cfg.saltBuckets
     val sized = blocks.withColumn("bsz",
       count(lit(1)).over(Window.partitionBy(keys.map(col): _*)))
-    val kept = sized.filter(col("bsz") <= cfg.maxBlockSize).drop("bsz")
-    val a = kept.select(col("lang"), col("band"), col("bhash"),
-      col("id").as("id_a"), col("len").as("len_a"))
-    val b = kept.select(col("lang"), col("band"), col("bhash"),
-      col("id").as("id_b"), col("len").as("len_b"))
-    a.join(b, keys)
-      .where(col("id_a") < col("id_b") &&
+
+    def pairsOf(df: DataFrame, joinKeys: Seq[String]): DataFrame = {
+      val a = df.select((joinKeys.map(col) :+
+        col("id").as("id_a") :+ col("len").as("len_a")): _*)
+      val b = df.select((joinKeys.map(col) :+
+        col("id").as("id_b") :+ col("len").as("len_b")): _*)
+      a.join(b, joinKeys)
+        .where(col("id_a") < col("id_b") &&
+          abs(col("len_a") - col("len_b")) < lit(cfg.band))
+        .select("id_a", "id_b")
+    }
+
+    val small = pairsOf(
+      sized.filter(col("bsz") <= cfg.maxBlockSize).drop("bsz"), keys)
+
+    val mid = sized.filter(
+      col("bsz") > cfg.maxBlockSize && col("bsz") <= cfg.saltedMaxBlockSize)
+      .drop("bsz")
+      .withColumn("salt", pmod(xxhash64(col("id")), lit(k)).cast("int"))
+    // triangle replication: A covers (r, j >= r), B covers (i <= r, r)
+    val midA = mid
+      .withColumn("j", explode(sequence(col("salt"), lit(k - 1))))
+      .select(col("lang"), col("band"), col("bhash"),
+        col("salt").as("i"), col("j"),
+        col("id").as("id_a"), col("len").as("len_a"))
+    val midB = mid
+      .withColumn("i", explode(sequence(lit(0), col("salt"))))
+      .select(col("lang"), col("band"), col("bhash"),
+        col("i"), col("salt").as("j"),
+        col("id").as("id_b"), col("len").as("len_b"))
+    // a pair meets in exactly one cell, but with sides swapped when
+    // salt(a) > salt(b) — normalize with least/greatest, not a directional
+    // filter (which would silently drop those pairs)
+    val midPairs = midA.join(midB, keys ++ Seq("i", "j"))
+      .where(col("id_a") =!= col("id_b") &&
         abs(col("len_a") - col("len_b")) < lit(cfg.band))
-      .select("id_a", "id_b")
-      .dropDuplicates("id_a", "id_b")
+      .select(least(col("id_a"), col("id_b")).as("id_a"),
+        greatest(col("id_a"), col("id_b")).as("id_b"))
+
+    small.unionAll(midPairs).dropDuplicates("id_a", "id_b")
   }
 
   /** Attach both contents (two equi-joins against the corpus — ids-only
@@ -128,6 +171,19 @@ object Er {
         }
       }
       .toDF("id_a", "id_b", "distance", "saturated", "cigar", "cells", "part_id")
+  }
+
+  /** Pair-level resume: score only candidate pairs absent from an existing
+    * (partial) scored checkpoint, then union — the anti-join resume of
+    * SURVEY.md §2.2 ("semi/anti joins for resume-from-checkpoint"). The
+    * anti-join runs on skinny (id_a, id_b) keys before content is attached. */
+  def scoreIncremental(pairs: DataFrame, corpus: DataFrame,
+                       alreadyScored: DataFrame, cfg: ErConfig): DataFrame = {
+    val todo = pairs.join(alreadyScored.select("id_a", "id_b"),
+      Seq("id_a", "id_b"), "left_anti")
+    score(withContents(todo, corpus), cfg)
+      .unionByName(alreadyScored.select(
+        "id_a", "id_b", "distance", "saturated", "cigar", "cells", "part_id"))
   }
 
   /** Per-partition lineage for the scoring stage (BASELINE.json north_star:

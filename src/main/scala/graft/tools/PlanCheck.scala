@@ -1,0 +1,23 @@
+package graft.tools
+import org.apache.spark.sql.SparkSession
+/** Prints executed plans of representative driver queries (pushdown /
+  * broadcast / codegen inspection). */
+object PlanCheck {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder().master("local[4]")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val dir = "/root/testdata/sf0.001"
+    for (q <- Seq("er01_corpus", "q01_pricing_agg", "q02_join_agg", "txt01_quality")) {
+      println(s"===== $q")
+      val df = graft.SparkEntry.queries(q)(spark, dir)
+      df.collect()
+      println(df.queryExecution.executedPlan.toString.linesIterator
+        .filter(l => l.contains("Scan") || l.contains("Broadcast") ||
+          l.contains("ReadSchema") || l.contains("PushedFilters") ||
+          l.contains("Exchange")).mkString("\n"))
+    }
+    spark.stop()
+  }
+}

@@ -219,6 +219,37 @@ class WfaSpec extends AnyFunSuite {
     }
   }
 
+  test("property: distance-mode affix trimming matches the raw wavefront; cigar mode never trims") {
+    val rnd = new Random(23)
+    val wsDist = new WfaWorkspace(64, withCigar = false)
+    val wsRaw = new WfaWorkspace(64, withCigar = false)
+    val wsCig = new WfaWorkspace(64)
+    for (_ <- 1 to 500) {
+      // bias toward shared affixes: mutate a base in the middle
+      val base = randAcgt(rnd, 200)
+      val other =
+        if (rnd.nextBoolean()) {
+          val sb = new StringBuilder(base)
+          for (_ <- 0 until rnd.nextInt(8) if sb.nonEmpty)
+            sb.setCharAt(rnd.nextInt(sb.length), "ACGT"(rnd.nextInt(4)))
+          sb.toString
+        } else randAcgt(rnd, 200)
+      val p = base.getBytes
+      val t = other.getBytes
+      val trimmed = Wfa.align(p, t, wsDist)
+      val raw = Wfa.alignNoTrim(p, p.length, t, t.length, wsRaw)
+      assert(trimmed.distance == raw.distance, s"$base / $other")
+      assert(trimmed.saturated == raw.saturated)
+      // cigar mode goes through the raw wavefront and stays replayable
+      val cig = Wfa.align(p, t, wsCig)
+      assert(cig.distance == raw.distance)
+      if (!cig.saturated) {
+        assert(CigarOps.replay(p, t, cig.cigar))
+        assert(CigarOps.counts(cig.cigar).edits == cig.distance)
+      }
+    }
+  }
+
   test("workspace reuse across pairs gives identical results to fresh workspaces") {
     val shared = new WfaWorkspace(64)
     val pairs = Seq("ACGT" -> "ACGT", "AAAA" -> "CCCC", "" -> "ACG", "ACGTACGT" -> "ACTTACGA")

@@ -125,6 +125,40 @@ class ErPipelineSpec extends AnyFunSuite with SparkTestBase {
       s"${violations.size}/${truePairs.size} true pairs split across entities")
   }
 
+  test("salted triangle join finds exactly the pairs a direct self-join would") {
+    import spark.implicits._
+    // one mid-size block (size 40: salted path), one small block (size 5),
+    // one mega block (size 100: dropped)
+    val rows =
+      (0 until 40).map(i => (i.toLong, 500 + (i % 30), "scala", 0, 111L)) ++
+      (100L until 105L).map(i => (i, 500, "scala", 0, 222L)) ++
+      (200 until 300).map(i => (i.toLong, 500, "scala", 0, 333L))
+    val blocks = rows.toDF("id", "len", "lang", "band", "bhash")
+    val got = Er.candidatePairs(blocks, cfg).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val expected = (
+      (for { i <- 0 until 40; j <- (i + 1) until 40
+             if math.abs((500 + i % 30) - (500 + j % 30)) < cfg.band }
+        yield (i.toLong, j.toLong)) ++
+      (for { i <- 100L until 105L; j <- (i + 1) until 105L } yield (i, j))
+    ).toSet
+    assert(got == expected, s"missing=${expected diff got} extra=${got diff expected}")
+  }
+
+  test("incremental scoring: anti-join resume matches a full scoring run") {
+    val blocks = Er.blocks(corpus, cfg)
+    val pairs = Er.candidatePairs(blocks, cfg).cache()
+    val full = Er.score(Er.withContents(pairs, corpus), cfg)
+      .drop("part_id", "cells") // partition assignment legitimately differs
+    // simulate a killed run that scored only pairs with even id_a
+    val partial = Er.score(
+      Er.withContents(pairs.where(col("id_a") % 2 === 0), corpus), cfg)
+    val resumed = Er.scoreIncremental(pairs, corpus, partial, cfg)
+      .drop("part_id", "cells")
+    assert(resumed.count() == full.count())
+    assert(resumed.exceptAll(full).isEmpty && full.exceptAll(resumed).isEmpty)
+  }
+
   test("resume: completed stages are not recomputed; output identical") {
     val dir = java.nio.file.Files.createTempDirectory("er-resume").toString
     val r1 = ErRunner.run(spark, dir, cfg)(Corpus.generate(spark, genCfg).toDF())
