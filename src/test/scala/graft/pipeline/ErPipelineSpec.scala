@@ -103,6 +103,39 @@ class ErPipelineSpec extends AnyFunSuite with SparkTestBase {
     assert(comps(10L) == 10L && comps(11L) == 10L)
   }
 
+  test("connected components: random graphs match a union-find oracle") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(77)
+    for (trial <- 1 to 3) {
+      val n = 150
+      val edges = (1 to 220).map(_ => (rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+        .filter { case (a, b) => a != b }
+      // union-find oracle
+      val parent = Array.tabulate(n)(identity)
+      def find(x: Int): Int = { var r = x; while (parent(r) != r) r = parent(r); r }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a.toInt), find(b.toInt))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val expected = edges.flatMap(e => Seq(e._1, e._2)).distinct
+        .map(v => v -> {
+          // component min = find with full path compression to the min root
+          var r = v.toInt; while (parent(r) != r) r = parent(r); r.toLong
+        }).toMap
+      val got = Er.connectedComponents(edges.toDF("id_a", "id_b")).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == expected, s"trial $trial")
+    }
+  }
+
+  test("connected components: 200-node path converges (log-round algorithm)") {
+    import spark.implicits._
+    val e = (0L until 199L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val comps = Er.connectedComponents(e).collect().map(r => r.getLong(0) -> r.getLong(1))
+    assert(comps.length == 200)
+    assert(comps.forall(_._2 == 0L))
+  }
+
   test("connected components: empty edges") {
     import spark.implicits._
     val e = Seq.empty[(Long, Long)].toDF("id_a", "id_b")
