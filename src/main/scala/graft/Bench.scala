@@ -34,6 +34,12 @@ object Bench {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // 32 saturated compute threads starve the driver's RPC loop; the
+      // 10s defaults produced heartbeat TimeoutException stack traces in
+      // the round-1 bench tail (local-mode noise, but it pollutes stdout
+      // and one GC pause away from failing the run)
+      .config("spark.executor.heartbeatInterval", "60s")
+      .config("spark.network.timeout", "600s")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 

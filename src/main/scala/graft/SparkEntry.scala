@@ -144,8 +144,11 @@ object SparkEntry {
       table(s, dir, "lineitem")
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-          sum(col("l_quantity").cast("decimal(18,2)")).as("sum_qty"),
-          sum(col("l_extendedprice").cast("decimal(18,2)")).as("sum_price"),
+          // decimal(38,2) on BOTH sides: Spark sum(decimal(18,2)) is
+          // decimal(28,2) but DuckDB's is decimal(38,2), and the driver's
+          // hash is width-sensitive (round-1 hash_match:false)
+          sum(col("l_quantity").cast("decimal(18,2)")).cast("decimal(38,2)").as("sum_qty"),
+          sum(col("l_extendedprice").cast("decimal(18,2)")).cast("decimal(38,2)").as("sum_price"),
           count(lit(1)).as("n_rows"),
           countDistinct(col("l_orderkey")).as("n_orders"))
         .orderBy("l_returnflag", "l_linestatus")
@@ -156,7 +159,7 @@ object SparkEntry {
       o.join(broadcast(c), o("o_custkey") === c("c_custkey"))
         .groupBy("c_mktsegment")
         .agg(count(lit(1)).as("n_orders"),
-          sum(col("o_totalprice").cast("decimal(18,2)")).as("revenue"))
+          sum(col("o_totalprice").cast("decimal(18,2)")).cast("decimal(38,2)").as("revenue"))
         .orderBy("c_mktsegment")
     }),
     "q03_window_topn" -> ((s, dir) => {
@@ -338,13 +341,13 @@ object SparkEntry {
   def oracleSql: Map[String, String] = Map(
     "q01_pricing_agg" ->
       """SELECT l_returnflag, l_linestatus,
-        |  sum(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty,
-        |  sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS sum_price,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_qty,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_price,
         |  count(*) AS n_rows, count(DISTINCT l_orderkey) AS n_orders
         |FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "q02_join_agg" ->
       """SELECT c_mktsegment, count(*) AS n_orders,
-        |  sum(CAST(o_totalprice AS DECIMAL(18,2))) AS revenue
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS revenue
         |FROM orders JOIN customer ON o_custkey = c_custkey
         |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q03_window_topn" ->
@@ -374,8 +377,10 @@ object SparkEntry {
         |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
         |sessions AS (
         |  SELECT user_id, event_id, value,
-        |    sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
-        |                           ROWS UNBOUNDED PRECEDING) AS session_idx
+        |    -- DuckDB windowed sum(INT) is HUGEINT; Spark's is BIGINT and
+        |    -- the driver's hash is width-sensitive
+        |    CAST(sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                                ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_idx
         |  FROM flagged)
         |SELECT user_id, session_idx, count(*) AS n_events,
         |  CAST(sum(CAST(floor(value * 1000) AS BIGINT)) AS BIGINT) AS value_millis
@@ -503,7 +508,7 @@ object SparkEntry {
         |             AS DOUBLE) / len(regexp_split_to_array(trim(text), ' +')) BETWEEN 2 AND 12
         |        AND CAST(length(text) - length(regexp_replace(text, '[\.,;:!\?\(\)\{\}]', '', 'g'))
         |             AS DOUBLE) / length(text) <= 0.3
-        |       THEN 1.0 ELSE 0.0 END AS quality_score
+        |       THEN CAST(1.0 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END AS quality_score
         |FROM documents ORDER BY doc_id""".stripMargin,
     "txt02_langid" ->
       """WITH toks AS (

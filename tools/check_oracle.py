@@ -33,6 +33,19 @@ for name, sql in sorted(oracle.items()):
     if list(ora.columns) != list(spk.columns):
         results[name] = f"SCHEMA_MISMATCH: oracle={list(ora.columns)} spark={list(spk.columns)}"
         continue
+    # dtype-strict (the driver's hash is type-WIDTH-sensitive: round 1
+    # passed this twin 23/23 while the driver failed q01 on
+    # DECIMAL(28,2)-vs-(38,2) and q06 on BIGINT-vs-HUGEINT): compare
+    # DuckDB DESCRIBE types of both sides, sorted by column name
+    ora_ty = dict(r[:2] for r in con.execute(f"DESCRIBE {sql}").fetchall())
+    spk_ty = dict(r[:2] for r in con.execute(
+        f"DESCRIBE SELECT * FROM '{spark_path}/*.parquet'").fetchall())
+    ty_mism = [f"{c}: oracle={ora_ty.get(c)} spark={spk_ty.get(c)}"
+               for c in sorted(set(ora_ty) | set(spk_ty))
+               if ora_ty.get(c) != spk_ty.get(c)]
+    if ty_mism:
+        results[name] = "DTYPE_MISMATCH: " + "; ".join(ty_mism)
+        continue
     if len(ora) != len(spk):
         results[name] = f"ROWCOUNT_MISMATCH: oracle={len(ora)} spark={len(spk)}"
         continue
