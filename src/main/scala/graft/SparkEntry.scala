@@ -1,23 +1,39 @@
 package graft
 
 import graft.core.{Wfa, WfaWorkspace}
+import graft.oracle.DuckHash
 import graft.ops.{Dedup, Multimodal, Similarity, TextAnalysis}
 import graft.pipeline.{Corpus, Er, ErConfig}
 import org.apache.spark.TaskContext
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
 
 /** Driver contract — see SURVEY.md §7 + FIXTURES.md F5.
   *
-  * Every SQL-expressible operator has a DuckDB oracle twin in [[oracleSql]]
-  * (column names aligned 1:1); non-SQL-expressible operators (MinHash-LSH
-  * blocking, SimHash, the streaming sessionizer) ship without an oracle
-  * (rows-only driver check) and are covered by ScalaTest specs instead. */
+  * Every query has a DuckDB oracle twin in [[oracleSql]] (column names and
+  * type widths aligned 1:1 — the driver's hash is width-sensitive). The
+  * LSH family (MinHash banding, SimHash, hyperplane buckets) is oracle-
+  * checked value-level too: [[graft.oracle.DuckHash]] reproduces graft's
+  * splitmix64/FNV hashing in single-statement DuckDB SQL. */
 object SparkEntry {
 
   private def table(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
+
+  /** Session-lifetime memo of persisted intermediate frames shared across
+    * driver-contract queries: Verify/Bench run every query in one session,
+    * and er04..er07/er09 + dd02 all derive from the same candidate/scored
+    * frames (round 1 recomputed the WFA scoring 5x per Verify run). */
+  private val frameCache =
+    scala.collection.concurrent.TrieMap[String, DataFrame]()
+  private def cachedFrame(spark: SparkSession, key: String)
+                         (build: => DataFrame): DataFrame =
+    frameCache.getOrElseUpdate(s"${System.identityHashCode(spark)}:$key",
+      build.persist(StorageLevel.MEMORY_AND_DISK))
+
+  private val bandCache = scala.collection.concurrent.TrieMap[String, Int]()
 
   /** ER input with deterministically planted near-duplicates: every 5th
     * document gets a copy with the last 7 chars dropped (distance 7 — a
@@ -42,11 +58,31 @@ object SparkEntry {
       |  FROM documents WHERE doc_id % 5 = 0
       |)""".stripMargin
 
+  /** SimHash dedup input: documents plus EXACT copies of every 5th doc
+    * (hamming 0 — guaranteed pairs under any maxHamming; the 7-char-trimmed
+    * erInput copies don't guarantee hamming <= 3). */
+  private def dd04Input(spark: SparkSession, dir: String): DataFrame = {
+    val docs = table(spark, dir, "documents")
+    docs.select(col("doc_id").as("id"), col("text").as("content"))
+      .unionAll(docs.where(col("doc_id") % 5 === 0)
+        .select((col("doc_id") + 1000000L).as("id"), col("text").as("content")))
+  }
+
+  private val Dd04Cte =
+    """WITH dd AS (
+      |  SELECT doc_id AS id, text AS content FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 1000000 AS id, text FROM documents WHERE doc_id % 5 = 0
+      |)""".stripMargin
+
   /** Length-bucketed candidate pairs (the SQL-mirrorable blocking path;
     * the MinHash-LSH path is er07_lsh_blocks / the Er pipeline). Each
     * right-side row is emitted into its own and the next 64-wide length
     * bucket so any pair with |lenA-lenB| < 64 meets in >= 1 bucket. */
-  private def erCandidates(spark: SparkSession, dir: String): DataFrame = {
+  private def erCandidates(spark: SparkSession, dir: String): DataFrame =
+    cachedFrame(spark, s"er_candidates:$dir")(erCandidatesUncached(spark, dir))
+
+  private def erCandidatesUncached(spark: SparkSession, dir: String): DataFrame = {
     val c = erInput(spark, dir).withColumn("len", length(col("content")))
     val bl = c.withColumn("bucket", floor(col("len") / 64))
     val br = c.select(col("id").as("id_r"), col("lang"), col("len").as("len_r"),
@@ -72,28 +108,43 @@ object SparkEntry {
        |  WHERE bl.id <> br.id_r AND abs(bl.len - br.len_r) < 64
        |)""".stripMargin
 
+  /** WFA band derived from the data (max content length + 1 > any possible
+    * distance, so WFA never saturates and equals unit-cost Levenshtein),
+    * with an ASCII assertion — DuckDB's levenshtein() is char-level while
+    * the scorer is byte-level, so the oracle is exact only for ASCII.
+    * Round 1 hard-coded 1024: longer docs in a future sf would have
+    * silently saturated while the oracle stayed exact, failing the whole
+    * er family at once. */
+  private def erBand(spark: SparkSession, dir: String): Int =
+    bandCache.getOrElseUpdate(s"${System.identityHashCode(spark)}:$dir", {
+      val row = erInput(spark, dir).agg(
+        max(length(col("content"))).as("max_len"),
+        max(col("content").rlike("[^\\x00-\\x7F]").cast("int")).as("non_ascii")).head()
+      require(row.getInt(1) == 0,
+        s"corpus at $dir is not pure ASCII; DuckDB levenshtein oracle would diverge")
+      row.getInt(0) + 1
+    })
+
   /** WFA-score candidate pairs (the core scorer as a driver-contract
-    * query; band 1024 > any possible distance here, so results equal
-    * unit-cost Levenshtein and DuckDB's levenshtein() is an exact oracle). */
-  private def erScores(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
-    val corpus = erInput(spark, dir)
-    val pairs = erCandidates(spark, dir)
-    val withBytes0 = pairs
-      .join(corpus.select(col("id").as("id_a"), col("content").cast("binary").as("ba")), "id_a")
-      .join(corpus.select(col("id").as("id_b"), col("content").cast("binary").as("bb")), "id_b")
-    // parallelism floor for the CPU-bound scorer (see Er.score)
-    val target = spark.sparkContext.defaultParallelism * 4
-    val withBytes =
-      if (withBytes0.rdd.getNumPartitions < target) withBytes0.repartition(target)
-      else withBytes0
-    withBytes.select($"id_a".as[Long], $"id_b".as[Long], $"ba".as[Array[Byte]], $"bb".as[Array[Byte]])
-      .mapPartitions { it =>
-        val ws = new WfaWorkspace(1024, withCigar = false)
-        it.map { case (a, b, pa, pb) => (a, b, Wfa.align(pa, pb, ws).distance.toLong) }
-      }
-      .toDF("id_a", "id_b", "distance")
-  }
+    * query). Cached: er04..er07 all derive from this one frame. */
+  private def erScores(spark: SparkSession, dir: String): DataFrame =
+    cachedFrame(spark, s"er_scores:$dir") {
+      import spark.implicits._
+      val corpus = erInput(spark, dir)
+      val pairs = erCandidates(spark, dir)
+      val band = erBand(spark, dir)
+      val withBytes = pairs
+        .join(corpus.select(col("id").as("id_a"), col("content").cast("binary").as("ba")), "id_a")
+        .join(corpus.select(col("id").as("id_b"), col("content").cast("binary").as("bb")), "id_b")
+        // parallelism floor for the CPU-bound scorer (see Er.score)
+        .repartition(spark.sparkContext.defaultParallelism * 4)
+      withBytes.select($"id_a".as[Long], $"id_b".as[Long], $"ba".as[Array[Byte]], $"bb".as[Array[Byte]])
+        .mapPartitions { it =>
+          val ws = new WfaWorkspace(band, withCigar = false)
+          it.map { case (a, b, pa, pb) => (a, b, Wfa.align(pa, pb, ws).distance.toLong) }
+        }
+        .toDF("id_a", "id_b", "distance")
+    }
 
   /** Band-64 scoring with CIGARs on matched pairs: the edit-op-count
     * invariant #(X)+#(I)+#(D) == distance (reference replay loop,
@@ -207,6 +258,64 @@ object SparkEntry {
         .orderBy("user_id", "session_idx")
     }),
 
+    // --- 3+-way joins with date-predicate pushdown over the dimension
+    // tables (nation/region/part/supplier were unqueried in round 1) ---
+    "q07_ship_priority" -> ((s, dir) => {
+      // TPC-H Q3-shaped: revenue of unshipped-as-of-date orders for one
+      // segment; dims broadcast, date filters reach the parquet scans
+      val c = table(s, dir, "customer")
+        .where(col("c_mktsegment") === "BUILDING").select("c_custkey")
+      val o = table(s, dir, "orders")
+        .where(col("o_orderdate") < lit("1998-01-01").cast("timestamp_ntz"))
+      val l = table(s, dir, "lineitem")
+        .where(col("l_shipdate") > lit("1998-01-01").cast("timestamp_ntz"))
+      l.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+        .groupBy(col("l_orderkey"), col("o_orderdate").cast("date").as("order_date"))
+        .agg(sum(floor(col("l_extendedprice") * (lit(1) - col("l_discount")) * 100)
+          .cast("long")).as("revenue_cents"))
+        .orderBy(col("revenue_cents").desc, col("l_orderkey"))
+        .limit(10)
+    }),
+    "q08_region_revenue" -> ((s, dir) => {
+      // TPC-H Q5-shaped 6-way join: all four dims broadcast; the only
+      // shuffle is lineitem x orders + the final tiny aggregation
+      val r = table(s, dir, "region").where(col("r_name") === "ASIA")
+      val n = table(s, dir, "nation")
+      val su = table(s, dir, "supplier")
+      val c = table(s, dir, "customer")
+      val o = table(s, dir, "orders").where(
+        col("o_orderdate") >= lit("1996-01-01").cast("timestamp_ntz") &&
+          col("o_orderdate") < lit("1998-01-01").cast("timestamp_ntz"))
+      val l = table(s, dir, "lineitem")
+      l.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(su),
+          col("l_suppkey") === col("s_suppkey") &&
+            col("c_nationkey") === col("s_nationkey"))
+        .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
+        .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+        .groupBy("n_name")
+        .agg(sum(floor(col("l_extendedprice") * (lit(1) - col("l_discount")) * 100)
+          .cast("long")).as("revenue_cents"),
+          count(lit(1)).as("n_items"))
+        .orderBy(col("revenue_cents").desc, col("n_name"))
+    }),
+    "q09_brand_revenue" -> ((s, dir) => {
+      // part x lineitem (broadcast dim) with a ship-date window
+      val p = table(s, dir, "part")
+      val l = table(s, dir, "lineitem").where(
+        col("l_shipdate") >= lit("1997-01-01").cast("timestamp_ntz") &&
+          col("l_shipdate") < lit("1998-01-01").cast("timestamp_ntz"))
+      l.join(broadcast(p), col("l_partkey") === col("p_partkey"))
+        .groupBy("p_brand")
+        .agg(count(lit(1)).as("n_items"),
+          sum(floor(col("l_quantity")).cast("long")).as("sum_qty"),
+          sum(floor(col("l_extendedprice") * (lit(1) - col("l_discount")) * 100)
+            .cast("long")).as("revenue_cents"))
+        .orderBy("p_brand")
+    }),
+
     // --- ER pipeline operators (SURVEY.md §2) ---
     "er01_corpus" -> ((s, dir) => {
       erInput(s, dir)
@@ -265,15 +374,17 @@ object SparkEntry {
         .orderBy("id_a", "id_b")
     }),
     "dd03_minhash_pairs" -> ((s, dir) => {
-      // planted near-dups guarantee recall>0; stats output (rows-only check)
+      // planted near-dups guarantee pairs; value-level DuckDB oracle
+      // reproduces the splitmix64 MinHash + banding exactly (DuckHash)
       Dedup.minHashPairs(erInput(s, dir).select(col("id"), col("content")), threshold = 0.5)
-        .agg(count(lit(1)).as("n_pairs"),
-          sum(when(col("id_b") - col("id_a") === 1000000L, 1L).otherwise(0L)).as("n_planted_found"))
+        .orderBy("id_a", "id_b")
     }),
     "dd04_simhash_pairs" -> ((s, dir) => {
-      Dedup.simHashPairs(erInput(s, dir).select(col("id"), col("content")), maxHamming = 3)
-        .agg(count(lit(1)).as("n_pairs"),
-          sum(when(col("id_b") - col("id_a") === 1000000L, 1L).otherwise(0L)).as("n_planted_found"))
+      // exact planted copies (hamming 0) guarantee pairs; oracle mirrors
+      // the token SimHash + 16-bit banding (Manku WWW'07) value-level
+      Dedup.simHashPairs(dd04Input(s, dir), maxHamming = 3)
+        .select(col("id_a"), col("id_b"), col("hamming").cast("long").as("hamming"))
+        .orderBy("id_a", "id_b")
     }),
     "dd05_embedding_neardup" -> ((s, dir) => {
       Dedup.embeddingNearDups(
@@ -293,11 +404,14 @@ object SparkEntry {
         .orderBy("query_id", "rank")
     }),
     "ann02_lsh" -> ((s, dir) => {
-      // LSH-bucketed ANN (approximate; rows-only check + spec coverage)
+      // multi-table hyperplane-LSH ANN pairs; value-level oracle (the
+      // splitmix64 plane components + sequential-fold dots reproduce in
+      // DuckDB SQL — see graft.oracle.DuckHash)
       val emb = table(s, dir, "embeddings")
         .select(col("vec_id"), transform(col("embedding"), _.cast("double")).as("embedding"))
-      Similarity.lshCosinePairs(emb, threshold = 0.35, nPlanes = 6)
-        .agg(count(lit(1)).as("n_pairs"))
+      Similarity.lshCosinePairs(emb, threshold = 0.35, nPlanes = 6, nTables = 2)
+        .select("id_a", "id_b")
+        .orderBy("id_a", "id_b")
     }),
 
     // --- text analysis ---
@@ -385,6 +499,41 @@ object SparkEntry {
         |SELECT user_id, session_idx, count(*) AS n_events,
         |  CAST(sum(CAST(floor(value * 1000) AS BIGINT)) AS BIGINT) AS value_millis
         |FROM sessions GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q07_ship_priority" ->
+      """SELECT l_orderkey, CAST(o_orderdate AS DATE) AS order_date,
+        |  CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS BIGINT)
+        |    AS revenue_cents
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |  AND o_orderdate < TIMESTAMP '1998-01-01'
+        |  AND l_shipdate > TIMESTAMP '1998-01-01'
+        |GROUP BY 1, 2 ORDER BY revenue_cents DESC, l_orderkey LIMIT 10""".stripMargin,
+    "q08_region_revenue" ->
+      """SELECT n_name,
+        |  CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS BIGINT)
+        |    AS revenue_cents,
+        |  count(*) AS n_items
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |WHERE r_name = 'ASIA'
+        |  AND o_orderdate >= TIMESTAMP '1996-01-01'
+        |  AND o_orderdate < TIMESTAMP '1998-01-01'
+        |GROUP BY 1 ORDER BY revenue_cents DESC, n_name""".stripMargin,
+    "q09_brand_revenue" ->
+      """SELECT p_brand, count(*) AS n_items,
+        |  CAST(sum(CAST(floor(l_quantity) AS BIGINT)) AS BIGINT) AS sum_qty,
+        |  CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS BIGINT)
+        |    AS revenue_cents
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+        |  AND l_shipdate < TIMESTAMP '1998-01-01'
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "er01_corpus" ->
       s"""$ErCorpusCte
          |SELECT id, lang, sha256(content) AS sha256, length(content) AS len
@@ -453,9 +602,53 @@ object SparkEntry {
          |JOIN corpus cb ON cb.id = p.id_b
          |WHERE levenshtein(ca.content, cb.content) <= 63
          |ORDER BY p.id_a, p.id_b""".stripMargin,
+    "er08_lsh_block_stats" ->
+      s"""$ErCorpusCte,
+         |${DuckHash.minhashSigsCtes("corpus", 63, 42L, "sigs")},
+         |${DuckHash.bandHashCtes("sigs", 63, 21, "bands")}
+         |SELECT CAST(b AS INT) AS band, count(DISTINCT bhash) AS n_blocks,
+         |  count(*) AS n_rows
+         |FROM bands GROUP BY 1 ORDER BY 1""".stripMargin,
     "dd01_exact" ->
       """SELECT sha256(text) AS sha, min(doc_id) AS keep_id, count(*) AS copies
         |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
+    "dd03_minhash_pairs" ->
+      s"""$ErCorpusCte,
+         |${DuckHash.minhashSigsCtes("corpus", 64, 42L, "sigs")},
+         |${DuckHash.bandHashCtes("sigs", 64, 16, "bands")},
+         |bsz AS (SELECT b, bhash, count(*) AS n FROM bands GROUP BY 1, 2),
+         |elig AS (SELECT bands.id, bands.b, bands.bhash FROM bands
+         |         JOIN bsz USING (b, bhash) WHERE n BETWEEN 2 AND 64),
+         |cand AS (SELECT DISTINCT la.id AS id_a, lb.id AS id_b
+         |         FROM elig la JOIN elig lb
+         |           ON la.b = lb.b AND la.bhash = lb.bhash AND la.id < lb.id),
+         |est AS (
+         |  SELECT cand.id_a, cand.id_b,
+         |    CAST(len(list_filter(range(1, 65), i -> sa.sig[i] = sb.sig[i])) AS DOUBLE) / 64
+         |      AS est_jaccard
+         |  FROM cand JOIN sigs sa ON sa.id = cand.id_a
+         |            JOIN sigs sb ON sb.id = cand.id_b)
+         |SELECT id_a, id_b, est_jaccard FROM est
+         |WHERE est_jaccard >= 0.5 ORDER BY id_a, id_b""".stripMargin,
+    "dd04_simhash_pairs" ->
+      s"""$Dd04Cte,
+         |${DuckHash.simhashCtes("dd", 42L, "sh")},
+         |bands AS (
+         |  SELECT id, b, (simhash >> CAST(b * 16 AS INTEGER)) & CAST(65535 AS UBIGINT) AS bits
+         |  FROM sh, unnest(range(0, 4)) t(b)),
+         |bsz AS (SELECT b, bits, count(*) AS n FROM bands GROUP BY 1, 2),
+         |elig AS (SELECT bands.id, bands.b, bands.bits FROM bands
+         |         JOIN bsz USING (b, bits) WHERE n BETWEEN 2 AND 64),
+         |cand AS (SELECT DISTINCT la.id AS id_a, lb.id AS id_b
+         |         FROM elig la JOIN elig lb
+         |           ON la.b = lb.b AND la.bits = lb.bits AND la.id < lb.id),
+         |ham AS (
+         |  SELECT cand.id_a, cand.id_b,
+         |    CAST(bit_count(xor(sa.simhash, sb.simhash)) AS BIGINT) AS hamming
+         |  FROM cand JOIN sh sa ON sa.id = cand.id_a
+         |            JOIN sh sb ON sb.id = cand.id_b)
+         |SELECT id_a, id_b, hamming FROM ham
+         |WHERE hamming <= 3 ORDER BY id_a, id_b""".stripMargin,
     "dd02_ngram_jaccard" ->
       s"""$ErPairsCte,
          |cand AS (SELECT id_a, id_b FROM pairs WHERE id_b - id_a = 1000000),
@@ -484,6 +677,21 @@ object SparkEntry {
         |WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
         |                             CAST(b.embedding AS DOUBLE[])) >= 0.4
         |ORDER BY 1, 2""".stripMargin,
+    "ann02_lsh" ->
+      s"""WITH emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |${DuckHash.hyperplaneBucketCtes("emb", 64, 6, 2, 42L, "bk")},
+         |bsz AS (SELECT tbl, bucket, count(*) AS n FROM bk GROUP BY 1, 2),
+         |elig AS (SELECT bk.vec_id, bk.tbl, bk.bucket FROM bk
+         |         JOIN bsz USING (tbl, bucket) WHERE n BETWEEN 2 AND 256),
+         |cand AS (SELECT DISTINCT la.vec_id AS id_a, lb.vec_id AS id_b
+         |         FROM elig la JOIN elig lb
+         |           ON la.tbl = lb.tbl AND la.bucket = lb.bucket
+         |          AND la.vec_id < lb.vec_id)
+         |SELECT cand.id_a, cand.id_b FROM cand
+         |JOIN emb ea ON ea.vec_id = cand.id_a
+         |JOIN emb eb ON eb.vec_id = cand.id_b
+         |WHERE list_cosine_similarity(ea.v, eb.v) >= 0.35
+         |ORDER BY id_a, id_b""".stripMargin,
     "ann01_topk" ->
       """SELECT query_id, item_id, rank FROM (
         |  SELECT q.vec_id AS query_id, c.vec_id AS item_id,

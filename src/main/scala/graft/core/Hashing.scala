@@ -111,4 +111,36 @@ object Hashing {
   }
 
   @inline def hamming64(a: Long, b: Long): Int = java.lang.Long.bitCount(a ^ b)
+
+  /** Deterministic pseudo-random hyperplane component for (plane, dim) in
+    * [-1, 1): two splitmix64 rounds over (seed, plane, dim). Seedable,
+    * identical on every executor, no stored model — and, unlike Spark's
+    * internal xxhash64, exactly reproducible in the DuckDB oracle
+    * (graft.oracle.DuckHash emits the same arithmetic in SQL). */
+  @inline def planeComponent(seed: Long, plane: Int, dim: Int): Double = {
+    val h = splitmix64(splitmix64(seed + 0x9E3779B97F4A7C15L * (plane + 1)) ^ (dim + 1).toLong)
+    h.toDouble / Long.MaxValue.toDouble
+  }
+
+  /** Random-hyperplane (sign) LSH bucket (Charikar, STOC'02): `nPlanes`
+    * sign bits of v·plane packed into a long. Vectors with high cosine
+    * collide with high probability. Sequential dim-order fold so the
+    * DuckDB oracle's list_reduce reproduces the exact IEEE sum. */
+  def hyperplaneBucket(v: Array[Double], nPlanes: Int, seed: Long): Long = {
+    var bucket = 0L
+    var p = 0
+    while (p < nPlanes) {
+      var dot = 0.0
+      var i = 0
+      while (i < v.length) { dot += v(i) * planeComponent(seed, p, i); i += 1 }
+      if (dot >= 0) bucket |= 1L << p
+      p += 1
+    }
+    bucket
+  }
+
+  /** Seed for LSH table `t` when banding across multiple independent
+    * hyperplane tables (union of per-table candidates raises recall). */
+  @inline def tableSeed(seed: Long, table: Int): Long =
+    splitmix64(seed + 0x5851F42D4C957F2DL * (table + 1))
 }

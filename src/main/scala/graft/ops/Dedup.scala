@@ -19,35 +19,41 @@ object Dedup {
       .groupBy("sha")
       .agg(min("id").as("keep_id"), count(lit(1)).as("copies"))
 
-  /** MinHash-LSH near-dup candidate pairs with signature-estimated Jaccard.
-    * (blocking identical to Er.blocks; here signatures are also kept to
-    * estimate similarity without touching content again — the standard
-    * MMDS ch.3 pipeline.) */
+  /** MinHash-LSH near-dup candidate pairs with signature-estimated Jaccard
+    * (the standard MMDS ch.3 pipeline). Scale shape (round-1 verdict):
+    * skinny (band, bhash, id) rows ride the candidate join — signatures
+    * (64 longs a side) are re-joined only onto deduped pairs; buckets with
+    * more than `maxBucket` members (shared boilerplate) are dropped, with
+    * sizes from a map-side-combinable groupBy (see [[Buckets]]). Banding
+    * uses graft's own splitmix64 fold ([[graft.core.Hashing.bandHashes]]),
+    * so the DuckDB oracle reproduces candidates exactly (band hash
+    * equality == signature-slice equality modulo 2^-64 collisions). */
   def minHashPairs(docs: DataFrame, k: Int = 5, numHashes: Int = 64,
                    bands: Int = 16, threshold: Double = 0.7,
-                   seed: Long = 42L): DataFrame = {
+                   seed: Long = 42L, maxBucket: Int = 64): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
+    // cached: traversed once for banding and once per pair side for the
+    // signature re-join (at real scale this is a checkpointed stage table)
     val sigs = docs.select(col("id").as[Long], col("content").cast("binary").as[Array[Byte]])
       .map { case (id, bytes) =>
         (id, Hashing.minHashSignature(bytes, k, numHashes, seed))
       }
       .toDF("id", "sig")
-    val banded = sigs.select(col("id"), col("sig"),
-        posexplode(array((0 until bands).map { b =>
-          val r = numHashes / bands
-          // band hash = xxhash over the band's slice
-          xxhash64(lit(b) +: (b * r until (b + 1) * r).map(j => col("sig")(j)): _*)
-        }: _*)).as(Seq("band", "bhash")))
-      .select("id", "sig", "band", "bhash")
-    val a = banded.select(col("band"), col("bhash"), col("id").as("id_a"), col("sig").as("sig_a"))
-    val b = banded.select(col("band"), col("bhash"), col("id").as("id_b"), col("sig").as("sig_b"))
-    a.join(b, Seq("band", "bhash"))
-      .where(col("id_a") < col("id_b"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val banded = sigs.select($"id".as[Long], $"sig".as[Array[Long]])
+      .flatMap { case (id, sig) =>
+        val bh = Hashing.bandHashes(sig, bands)
+        Iterator.tabulate(bands)(b => (id, b, bh(b)))
+      }
+      .toDF("id", "band", "bhash")
+    val pairs = Buckets.cappedSelfJoinPairs(banded, Seq("band", "bhash"), maxBucket)
+    val sa = sigs.select(col("id").as("id_a"), col("sig").as("sig_a"))
+    val sb = sigs.select(col("id").as("id_b"), col("sig").as("sig_b"))
+    pairs.join(sa, "id_a").join(sb, "id_b")
       .select(col("id_a"), col("id_b"),
         (aggregate(zip_with(col("sig_a"), col("sig_b"), (x, y) => when(x === y, 1).otherwise(0)),
           lit(0), (acc, v) => acc + v).cast("double") / numHashes).as("est_jaccard"))
-      .dropDuplicates("id_a", "id_b")
       .where(col("est_jaccard") >= threshold)
   }
 
@@ -55,23 +61,26 @@ object Dedup {
     * 4-band Hamming trick (Hamming distance <= 3 implies at least one of
     * four 16-bit bands matches exactly — Manku et al., WWW'07), verified
     * with the exact popcount. */
-  def simHashPairs(docs: DataFrame, maxHamming: Int = 3, seed: Long = 42L): DataFrame = {
+  def simHashPairs(docs: DataFrame, maxHamming: Int = 3, seed: Long = 42L,
+                   maxBucket: Int = 64): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
     val hashed = docs.select(col("id").as[Long], col("content").as[String])
       .map { case (id, text) => (id, Hashing.simHash64(text, seed)) }
       .toDF("id", "simhash")
-    val banded = hashed.select(col("id"), col("simhash"),
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // skinny banded rows (id, band, bits): the 64-bit hashes are re-joined
+    // onto deduped pairs, and hot 16-bit buckets are capped (Buckets)
+    val banded = hashed.select(col("id"),
       posexplode(array((0 until 4).map(b =>
         shiftright(col("simhash"), b * 16).bitwiseAND(lit(0xFFFFL))): _*))
         .as(Seq("band", "bits")))
-    val a = banded.select(col("band"), col("bits"), col("id").as("id_a"), col("simhash").as("sh_a"))
-    val b = banded.select(col("band"), col("bits"), col("id").as("id_b"), col("simhash").as("sh_b"))
-    a.join(b, Seq("band", "bits"))
-      .where(col("id_a") < col("id_b"))
+    val pairs = Buckets.cappedSelfJoinPairs(banded, Seq("band", "bits"), maxBucket)
+    val ha = hashed.select(col("id").as("id_a"), col("simhash").as("sh_a"))
+    val hb = hashed.select(col("id").as("id_b"), col("simhash").as("sh_b"))
+    pairs.join(ha, "id_a").join(hb, "id_b")
       .select(col("id_a"), col("id_b"),
         bit_count(col("sh_a").bitwiseXOR(col("sh_b"))).as("hamming"))
-      .dropDuplicates("id_a", "id_b")
       .where(col("hamming") <= maxHamming)
   }
 

@@ -81,8 +81,19 @@ object Er {
   def candidatePairs(blocks: DataFrame, cfg: ErConfig): DataFrame = {
     val keys = Seq("lang", "band", "bhash")
     val k = cfg.saltBuckets
-    val sized = blocks.withColumn("bsz",
-      count(lit(1)).over(Window.partitionBy(keys.map(col): _*)))
+    // Block sizing via groupBy+join, NOT count().over(Window): the window
+    // shipped every row of a hot key to one task with no partial
+    // aggregation — the exact mega-block pathology the salted join breaks
+    // (68% of the round-1 bench). groupBy is map-side combinable, and the
+    // size side carries one skinny row per multi-member block (singleton
+    // blocks — the vast majority — produce no pairs and die at this inner
+    // join). blocks is cached because the plan traverses it twice (sizes +
+    // probe); at real scale this is a checkpointed stage table instead.
+    val cached = blocks.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sizes = cached.groupBy(keys.map(col): _*)
+      .agg(count(lit(1)).as("bsz"))
+      .where(col("bsz") >= 2)
+    val sized = cached.join(sizes, keys)
 
     def pairsOf(df: DataFrame, joinKeys: Seq[String]): DataFrame = {
       val a = df.select((joinKeys.map(col) :+
@@ -123,6 +134,22 @@ object Er {
         greatest(col("id_a"), col("id_b")).as("id_b"))
 
     small.unionAll(midPairs).dropDuplicates("id_a", "id_b")
+  }
+
+  /** Blocking-policy lineage: how many blocks (and member rows) the
+    * mega-block drop (> saltedMaxBlockSize, the shared-boilerplate recall
+    * policy) discards — the policy is a constant, so its cost must be
+    * observable at scale (round-1 verdict). One row: (n_blocks_dropped,
+    * n_rows_dropped, max_block_size). */
+  def blockingLineage(blocks: DataFrame, cfg: ErConfig): DataFrame = {
+    val sizes = blocks.groupBy("lang", "band", "bhash")
+      .agg(count(lit(1)).as("bsz"))
+    sizes.agg(
+      coalesce(sum(when(col("bsz") > cfg.saltedMaxBlockSize, 1L).otherwise(0L)), lit(0L))
+        .as("n_blocks_dropped"),
+      coalesce(sum(when(col("bsz") > cfg.saltedMaxBlockSize, col("bsz")).otherwise(0L)), lit(0L))
+        .as("n_rows_dropped"),
+      coalesce(max("bsz"), lit(0L)).as("max_block_size"))
   }
 
   /** Attach both contents (two equi-joins against the corpus — ids-only

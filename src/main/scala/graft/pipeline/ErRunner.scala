@@ -19,6 +19,10 @@ object ErRunner {
     val corpus = r.stage("corpus")(Corpus.withDerived(corpusSource))
     val blocks = r.stage("blocks")(Er.blocks(corpus, cfg))
     val pairs = r.stage("pairs")(Er.candidatePairs(blocks, cfg))
+    if (r.computed.contains("pairs")) {
+      // recall-policy observability: mass discarded by the mega-block drop
+      r.lineage("blocking_policy", Er.blockingLineage(blocks, cfg))
+    }
     val scored = r.stage("scored")(Er.score(Er.withContents(pairs, corpus), cfg))
     if (r.computed.contains("scored")) {
       r.lineage("scored_partitions", Er.scoreLineage(scored))

@@ -26,37 +26,99 @@ object EventStream {
       .groupBy(window(col("ts"), windowLen), col("event_type"))
       .agg(count(lit(1)).as("n"), sum("value").as("total_value"))
 
-  /** Gap-based sessionizer via flatMapGroupsWithState: a session closes
-    * after `gapSeconds` of inactivity per user (processing-time timeout in
-    * streaming; in tests the final state flush is asserted through the
-    * sorted-batch path below). */
+  /** Open-session accumulator — the ONLY per-user state either sessionizer
+    * keeps (O(1): count/sum/bounds, never the event history — round-1
+    * buffered and sorted a user's whole history in one state object, so a
+    * hot user OOMed a task at scale). */
+  final case class OpenSession(n: Int, total: Double, startMs: Long, endMs: Long) {
+    def absorb(e: Event): OpenSession =
+      OpenSession(n + 1, total + e.value, startMs, e.ts.getTime)
+    def toSession(userId: Long): Session =
+      Session(userId, n, total, new Timestamp(startMs), new Timestamp(endMs))
+  }
+  private def openFrom(e: Event): OpenSession =
+    OpenSession(1, e.value, e.ts.getTime, e.ts.getTime)
+
+  /** Lazy gap-split fold over ts-ordered events: emits each session as
+    * soon as its closing gap (or end of input) is seen. Never buffers. */
+  private final class SessionIterator(userId: Long, events: Iterator[Event],
+                                      gapMs: Long) extends Iterator[Session] {
+    private var open: OpenSession = null
+    private var ready: Session = null
+    private def advance(): Unit = {
+      while (ready == null && events.hasNext) {
+        val e = events.next()
+        if (open == null) open = openFrom(e)
+        else if (e.ts.getTime - open.endMs > gapMs) {
+          ready = open.toSession(userId)
+          open = openFrom(e)
+        } else open = open.absorb(e)
+      }
+      if (ready == null && open != null) { // end of input: flush the tail
+        ready = open.toSession(userId)
+        open = null
+      }
+    }
+    override def hasNext: Boolean = { if (ready == null) advance(); ready != null }
+    override def next(): Session = {
+      if (!hasNext) throw new NoSuchElementException
+      val s = ready; ready = null; s
+    }
+  }
+
+  /** Batch gap-based sessionizer: a session closes after `gapSeconds` of
+    * inactivity per user. Sort-free from the operator's view — Spark's
+    * group-sort (spillable, via flatMapSortedGroups) orders each user's
+    * events by (ts, event_id), and the fold above keeps one O(1)
+    * accumulator, so a user with millions of events never materializes
+    * its history in memory. */
   def sessionize(events: Dataset[Event], gapSeconds: Long): Dataset[Session] = {
     val spark = events.sparkSession
     import spark.implicits._
     events.groupByKey(_.user_id)
-      .flatMapGroupsWithState[List[Event], Session](
-        OutputMode.Append, GroupStateTimeout.NoTimeout) {
-        (userId: Long, it: Iterator[Event], state: GroupState[List[Event]]) =>
-          // batch mode: the full group arrives at once; emit closed sessions
-          val evs = (state.getOption.getOrElse(Nil) ++ it.toList).sortBy(_.ts.getTime)
-          val sessions = List.newBuilder[Session]
-          var cur = List.empty[Event]
-          evs.foreach { e =>
-            cur match {
-              case last :: _ if e.ts.getTime - last.ts.getTime > gapSeconds * 1000 =>
-                sessions += toSession(userId, cur.reverse)
-                cur = List(e)
-              case _ => cur = e :: cur
-            }
-          }
-          if (cur.nonEmpty) sessions += toSession(userId, cur.reverse)
-          state.remove()
-          sessions.result().iterator
+      .flatMapSortedGroups(col("ts"), col("event_id")) {
+        (userId: Long, it: Iterator[Event]) =>
+          new SessionIterator(userId, it, gapSeconds * 1000)
       }
   }
 
-  private def toSession(userId: Long, evs: List[Event]): Session =
-    Session(userId, evs.length, evs.map(_.value).sum, evs.head.ts, evs.last.ts)
+  /** Streaming sessionizer with BOUNDED state: per-user state is one
+    * [[OpenSession]] accumulator; an event-time timeout (watermark-driven)
+    * closes idle sessions. Only each micro-batch's slice of a user's
+    * events is sorted (bounded by batch size), never the history. */
+  def sessionizeStreaming(events: Dataset[Event], gapSeconds: Long,
+                          watermark: String = "10 minutes"): Dataset[Session] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val gapMs = gapSeconds * 1000
+    events.withWatermark("ts", watermark)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[OpenSession, Session](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (userId: Long, it: Iterator[Event], state: GroupState[OpenSession]) =>
+          if (!it.hasNext && state.hasTimedOut) {
+            val out = state.getOption.map(_.toSession(userId)).toList
+            state.remove()
+            out.iterator
+          } else {
+            val evs = it.toArray.sortBy(e => (e.ts.getTime, e.event_id))
+            var open = state.getOption.orNull
+            val closed = List.newBuilder[Session]
+            evs.foreach { e =>
+              if (open == null) open = openFrom(e)
+              else if (e.ts.getTime - open.endMs > gapMs) {
+                closed += open.toSession(userId)
+                open = openFrom(e)
+              } else open = open.absorb(e)
+            }
+            if (open != null) {
+              state.update(open)
+              state.setTimeoutTimestamp(open.endMs + gapMs)
+            }
+            closed.result().iterator
+          }
+      }
+  }
 
   /** Streaming entry: parquet-directory source -> windowed counts. */
   def streamFromParquetDir(spark: SparkSession, dir: String): DataFrame = {

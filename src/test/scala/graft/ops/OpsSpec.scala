@@ -86,6 +86,30 @@ class OpsSpec extends AnyFunSuite with SparkTestBase {
     assert((0L until n).forall(i => pairs.contains((i, i + 1000))))
   }
 
+  test("bucket cap: a mega-bucket is dropped, small buckets pair, lineage counts the loss") {
+    // one 1000-member bucket (the shared-boilerplate pathology) + one
+    // 3-member bucket; the cap must kill the quadratic bucket entirely
+    val rows = spark.range(1000).select(lit("hot").as("key"), col("id"))
+      .unionAll(Seq(("cold", 2000L), ("cold", 2001L), ("cold", 2002L)).toDF("key", "id"))
+    val pairs = Buckets.cappedSelfJoinPairs(rows, Seq("key"), maxGroup = 64)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((2000L, 2001L), (2000L, 2002L), (2001L, 2002L)))
+    val dropped = Buckets.droppedStats(rows, Seq("key"), maxGroup = 64).head()
+    assert(dropped.getLong(0) == 1L && dropped.getLong(1) == 1000L)
+    // empty-input stats stay well-defined (coalesced zeros)
+    val none = Buckets.droppedStats(rows, Seq("key"), maxGroup = 2000).head()
+    assert(none.getLong(0) == 0L && none.getLong(1) == 0L)
+  }
+
+  test("minhash est_jaccard is the signature match fraction") {
+    val out = Dedup.minHashPairs(docs, threshold = 0.0, maxBucket = 64)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(out((0L, 1L)) == 1.0) // identical content -> identical signature
+    out.values.foreach(v => assert(v >= 0.0 && v <= 1.0))
+    // est is k/64 by construction
+    out.values.foreach(v => assert((v * 64) == math.round(v * 64).toDouble))
+  }
+
   test("text analysis: tokens, quality, langid, fingerprint") {
     val d = Seq((0L, "the cat is on the mat."), (1L, "der hund ist nicht hier"),
       (2L, "???!!!...")).toDF("doc_id", "content")

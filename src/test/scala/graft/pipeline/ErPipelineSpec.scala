@@ -217,5 +217,28 @@ class ErPipelineSpec extends AnyFunSuite with SparkTestBase {
     val pairTotal = spark.read.parquet(s"$dir/scored").count()
     assert(lin.agg(sum("pair_count")).head().getLong(0) == pairTotal)
     assert(lin.agg(sum("cells_expanded")).head().getLong(0) > 0L)
+
+    // blocking-policy lineage: the mega-block recall policy is observable
+    val policy = r1.readLineage("blocking_policy").head()
+    assert(policy.schema.fieldNames.toSeq ==
+      Seq("n_blocks_dropped", "n_rows_dropped", "max_block_size"))
+    assert(policy.getLong(0) >= 0L && policy.getLong(2) >= 1L)
+  }
+
+  test("blockingLineage counts exactly the blocks over the salted cap") {
+    import spark.implicits._
+    // 70 docs sharing one boilerplate block key vs the default cap of 64:
+    // craft blocks directly (the policy unit, independent of MinHash)
+    val hot = (0 until 70).map(i => (i.toLong, 100, "x", 0, 7L))
+    val cold = Seq((100L, 100, "x", 0, 8L), (101L, 100, "x", 0, 8L))
+    val blocks = (hot ++ cold).toDF("id", "len", "lang", "band", "bhash")
+    val row = Er.blockingLineage(blocks, cfg).head()
+    assert(row.getLong(0) == 1L)   // one block over cap
+    assert(row.getLong(1) == 70L)  // its member rows
+    assert(row.getLong(2) == 70L)  // max block size
+    // and candidatePairs drops it: only the cold pair survives
+    val pairs = Er.candidatePairs(blocks, cfg)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((100L, 101L)))
   }
 }

@@ -35,6 +35,44 @@ class EventStreamSpec extends AnyFunSuite with SparkTestBase {
     assert(streamed.count() > 0)
   }
 
+  test("sessionizer state is O(1): one hot user with 1M events streams through") {
+    // events 10s apart with a 1000s gap every 100k events -> 10 sessions;
+    // the round-1 sessionizer buffered + sorted the full history per user
+    val n = 1000000
+    val events = spark.range(n).select(
+      col("id").as("event_id"),
+      (col("id") * 10 + floor(col("id") / 100000) * 1000).cast("timestamp").as("ts"),
+      lit(42L).as("user_id"), lit("e").as("event_type"), lit(1.0).as("value")
+    ).as[EventStream.Event]
+    val sessions = EventStream.sessionize(events, gapSeconds = 60)
+      .collect().sortBy(_.start_ts.getTime)
+    assert(sessions.length == 10)
+    assert(sessions.forall(_.n_events == 100000))
+    assert(sessions.map(_.total_value).sum == n.toDouble)
+  }
+
+  test("streaming sessionizer (bounded state, event-time timeout) matches batch") {
+    val dir = java.nio.file.Files.createTempDirectory("sess-stream").toString
+    spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+      .select(col("event_id"), col("ts").cast("timestamp").as("ts"),
+        col("user_id"), col("event_type"), col("value"))
+      .write.mode("overwrite").parquet(dir)
+    val src = spark.readStream.schema(spark.read.parquet(dir).schema)
+      .parquet(dir).as[EventStream.Event]
+    val q = EventStream.sessionizeStreaming(src, gapSeconds = 300)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("sessions_stream")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val streamed = spark.table("sessions_stream")
+    val batch = EventStream.sessionize(
+      spark.read.parquet(dir).as[EventStream.Event], gapSeconds = 300).toDF()
+    // append mode only emits CLOSED sessions: every streamed session must
+    // be a batch session, and most batch sessions close within the data
+    assert(streamed.exceptAll(batch).isEmpty)
+    assert(streamed.count() > 0)
+  }
+
   test("sessionizer: gap splits sessions; totals preserved") {
     val events = Seq(
       EventStream.Event(1, ts(0), 7L, "a", 1.0),
