@@ -28,22 +28,27 @@ object AlignerCli {
                           batch: Int = 4096, threads: Int = 0,
                           print: Boolean = false, band: Int = 64)
 
+  /** Accepts the reference's short AND long forms (its generic parser
+    * matches either, /root/reference/utils/arg_handler.c:88-138; long
+    * names from the options table, src/aligner.cu:77-136). */
   def parseArgs(args: Array[String]): Config = {
     var c = Config()
     var i = 0
     while (i < args.length) {
       args(i) match {
-        case "-f" => c = c.copy(file = args(i + 1)); i += 2
-        case "-n" => c = c.copy(num = args(i + 1).toLong); i += 2
-        case "-l" => c = c.copy(seqLen = args(i + 1).toInt); i += 2
-        case "-b" => c = c.copy(batch = args(i + 1).toInt); i += 2
-        case "-t" => c = c.copy(threads = args(i + 1).toInt); i += 2
-        case "-p" => c = c.copy(print = true); i += 1
-        case "-d" => c = c.copy(band = args(i + 1).toInt); i += 2
+        case "-f" | "--file" => c = c.copy(file = args(i + 1)); i += 2
+        case "-n" | "--num-alignments" => c = c.copy(num = args(i + 1).toLong); i += 2
+        case "-l" | "--seq-len" => c = c.copy(seqLen = args(i + 1).toInt); i += 2
+        case "-b" | "--batch-size" => c = c.copy(batch = args(i + 1).toInt); i += 2
+        case "-t" | "--cpu-threads" => c = c.copy(threads = args(i + 1).toInt); i += 2
+        case "-p" | "--print-cigars" => c = c.copy(print = true); i += 1
+        case "-d" | "--max-distance" => c = c.copy(band = args(i + 1).toInt); i += 2
         case other => throw new IllegalArgumentException(s"unknown option $other")
       }
     }
-    require(c.file.nonEmpty, "usage: AlignerCli -f <file> [-n num] [-b batch] [-t threads] [-d band] [-p]")
+    require(c.file.nonEmpty,
+      "usage: AlignerCli -f|--file <file> [-n|--num-alignments num] [-b|--batch-size batch] " +
+        "[-t|--cpu-threads threads] [-d|--max-distance band] [-p|--print-cigars]")
     c
   }
 

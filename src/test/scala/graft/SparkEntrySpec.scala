@@ -28,5 +28,8 @@ class SparkEntrySpec extends AnyFunSuite with SparkTestBase {
     }
     val unknown = SparkEntry.oracleSql.keySet diff SparkEntry.queries.keySet
     assert(unknown.isEmpty, s"oracleSql keys without queries: $unknown")
+    // since round 2 EVERY query is oracle-checked — no rows-only checks left
+    val unoracled = SparkEntry.queries.keySet diff SparkEntry.oracleSql.keySet
+    assert(unoracled.isEmpty, s"queries without a DuckDB oracle: $unoracled")
   }
 }

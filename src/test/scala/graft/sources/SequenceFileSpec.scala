@@ -94,5 +94,12 @@ class SequenceFileSpec extends AnyFunSuite with SparkTestBase {
     val limited = AlignerCli.run(spark,
       AlignerCli.parseArgs(Array("-f", path, "-n", "10"))).count()
     assert(limited == 10)
+
+    // long forms parse identically to the reference's arg_handler
+    val long = AlignerCli.parseArgs(Array(
+      "--file", path, "--num-alignments", "10", "--seq-len", "200",
+      "--batch-size", "16", "--cpu-threads", "4", "--max-distance", "32",
+      "--print-cigars"))
+    assert(long == AlignerCli.Config(path, 10, 200, 16, 4, print = true, band = 32))
   }
 }
