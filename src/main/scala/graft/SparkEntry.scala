@@ -414,6 +414,16 @@ object SparkEntry {
         .orderBy("id_a", "id_b")
     }),
 
+    "ann03_ivf_topk" -> ((s, dir) => {
+      // IVF-flat: deterministic coarse cells (lowest-16 ids), nProbe=2;
+      // the oracle mirrors the same quantization, so parity is value-level
+      val emb = table(s, dir, "embeddings")
+        .select(col("vec_id"), transform(col("embedding"), _.cast("double")).as("embedding"))
+      Similarity.ivfTopK(emb.where(col("vec_id") < 10), emb, k = 5, nCells = 16, nProbe = 2)
+        .select(col("query_id"), col("item_id"), col("rank").cast("long").as("rank"))
+        .orderBy("query_id", "rank")
+    }),
+
     // --- text analysis ---
     "txt01_quality" -> ((s, dir) => {
       TextAnalysis.quality(
@@ -702,6 +712,31 @@ object SparkEntry {
         |               c.vec_id) AS rank
         |  FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
         |  WHERE q.vec_id < 10)
+        |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+    "ann03_ivf_topk" ->
+      """WITH emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |cents AS (SELECT vec_id AS cent_id, v AS cv FROM emb ORDER BY vec_id LIMIT 16),
+        |asgn AS (
+        |  SELECT vec_id AS item_id, cell FROM (
+        |    SELECT e.vec_id, c.cent_id AS cell,
+        |      row_number() OVER (PARTITION BY e.vec_id
+        |        ORDER BY list_cosine_similarity(e.v, c.cv) DESC, c.cent_id) AS rk
+        |    FROM emb e, cents c) WHERE rk = 1),
+        |qcells AS (
+        |  SELECT vec_id AS query_id, cell FROM (
+        |    SELECT e.vec_id, c.cent_id AS cell,
+        |      row_number() OVER (PARTITION BY e.vec_id
+        |        ORDER BY list_cosine_similarity(e.v, c.cv) DESC, c.cent_id) AS rk
+        |    FROM emb e, cents c WHERE e.vec_id < 10) WHERE rk <= 2),
+        |ranked AS (
+        |  SELECT q.query_id, a.item_id,
+        |    row_number() OVER (PARTITION BY q.query_id
+        |      ORDER BY list_cosine_similarity(qe.v, ie.v) DESC, a.item_id) AS rank
+        |  FROM qcells q
+        |  JOIN asgn a ON a.cell = q.cell AND a.item_id <> q.query_id
+        |  JOIN emb qe ON qe.vec_id = q.query_id
+        |  JOIN emb ie ON ie.vec_id = a.item_id)
+        |SELECT query_id, item_id, rank FROM ranked
         |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
     "txt01_quality" ->
       """SELECT doc_id,

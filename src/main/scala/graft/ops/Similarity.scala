@@ -33,6 +33,51 @@ object Similarity {
       .where(col("rank") <= k)
   }
 
+  /** IVF-flat approximate top-k (the inverted-file ANN scale path): the
+    * corpus is coarse-quantized into `nCells` cells — centroids are the
+    * `nCells` lowest-id corpus vectors (deterministic, training-free,
+    * seed-stable; at real scale swap in k-means|| centroids, the cell
+    * structure below is unchanged) — and each query searches only its
+    * `nProbe` most-similar cells instead of the whole corpus.
+    *
+    * Scale shape: the centroid table is tiny and broadcast to both
+    * assignment cross-joins; cell assignment reduces via a map-side-
+    * combinable groupBy max(struct) argmax (no window over the corpus);
+    * the probe is an equi-join on cell id, so per-query work is bounded
+    * by the probed cells' sizes. With nProbe == nCells this is exactly
+    * bruteForceTopK (property-tested). */
+  def ivfTopK(queries: DataFrame, corpus: DataFrame, k: Int,
+              nCells: Int = 16, nProbe: Int = 2): DataFrame = {
+    val cents = corpus.orderBy("vec_id").limit(nCells)
+      .select(col("vec_id").as("cent_id"), col("embedding").as("cv"))
+    // corpus cell assignment: argmax_centroid cosine, ties to lowest cent_id
+    val asgn = corpus.crossJoin(broadcast(cents))
+      .select(col("vec_id"), col("embedding"),
+        cosine(col("embedding"), col("cv")).as("sim"), col("cent_id"))
+      .groupBy("vec_id")
+      .agg(max(struct(col("sim"), (-col("cent_id")).as("negc"))).as("best"),
+        first("embedding").as("embedding"))
+      .select(col("vec_id").as("item_id"), (-col("best.negc")).as("cell"),
+        col("embedding").as("iv"))
+    // query probe list: the nProbe most-similar cells per query
+    val probeW = Window.partitionBy("query_id")
+      .orderBy(col("sim").desc, col("cent_id"))
+    val qcells = queries
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+      .crossJoin(broadcast(cents))
+      .select(col("query_id"), col("qv"),
+        cosine(col("qv"), col("cv")).as("sim"), col("cent_id"))
+      .withColumn("rk", row_number().over(probeW))
+      .where(col("rk") <= nProbe)
+      .select(col("query_id"), col("qv"), col("cent_id").as("cell"))
+    val rankW = Window.partitionBy("query_id").orderBy(col("cos").desc, col("item_id"))
+    qcells.join(asgn, "cell")
+      .where(col("query_id") =!= col("item_id"))
+      .select(col("query_id"), col("item_id"), cosine(col("qv"), col("iv")).as("cos"))
+      .withColumn("rank", row_number().over(rankW))
+      .where(col("rank") <= k)
+  }
+
   /** Multi-table random-hyperplane LSH near-neighbor pairs (Charikar,
     * STOC'02): each of `nTables` independent tables assigns every vector a
     * bucket of `nPlanes` dot-product sign bits; candidates are vectors

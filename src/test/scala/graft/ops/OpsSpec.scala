@@ -73,6 +73,22 @@ class OpsSpec extends AnyFunSuite with SparkTestBase {
     assert(top.map(_.getLong(1)).toSeq == Seq(1L, 2L))
   }
 
+  test("IVF topk: probing every cell equals brute force; partial probe returns full k") {
+    val n = 100
+    val vecs = spark.range(n).select(col("id").as("vec_id"),
+      transform(sequence(lit(0), lit(15)),
+        i => (sin(col("vec_id") * 37 + i) + lit(2.0))).as("embedding"))
+    val q = vecs.where(col("vec_id") < 5)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("query_id", "item_id", "rank").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val brute = rows(Similarity.bruteForceTopK(q, vecs, k = 3))
+    val full = rows(Similarity.ivfTopK(q, vecs, k = 3, nCells = 8, nProbe = 8))
+    assert(full == brute, "nProbe == nCells must reduce to exact brute force")
+    val probed = Similarity.ivfTopK(q, vecs, k = 3, nCells = 8, nProbe = 2)
+    assert(probed.count() == 15) // 5 queries x k=3: probed cells hold >= k items
+  }
+
   test("LSH cosine pairs: near-identical vectors share buckets") {
     val n = 50
     val vecs = spark.range(n).select(col("id").as("vec_id"),
