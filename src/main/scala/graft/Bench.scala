@@ -129,7 +129,8 @@ object Bench {
     val operatorPairsPerSec = fixedParts.toLong * poolSize * reps / tFixed
 
     // headline driver-contract queries over the sf tables
-    val headline = Seq("q01_pricing_agg", "er04_scores", "dd03_minhash_pairs", "ann01_topk")
+    val headline = Seq("q01_pricing_agg", "q08_region_revenue",
+      "er04_scores", "dd03_minhash_pairs", "ann01_topk")
     val queryTimes = headline.map { name =>
       val (_, t) = time(SparkEntry.queries(name)(spark, sfDir).count())
       name -> t

@@ -120,6 +120,18 @@ object EventStream {
       }
   }
 
+  /** Streaming exact dedup: keep the first occurrence of each key within
+    * the watermark horizon — state is one row per key and is EVICTED once
+    * the watermark passes (bounded, unlike a plain dropDuplicates whose
+    * state grows forever on an unbounded stream). Works identically on a
+    * batch DataFrame (where it degenerates to distinct-by-key). */
+  def dedupByKey(events: DataFrame, keyCol: String,
+                 watermark: String = "10 minutes"): DataFrame = {
+    val withWm = events.withWatermark("ts", watermark)
+    if (events.isStreaming) withWm.dropDuplicatesWithinWatermark(keyCol)
+    else withWm.dropDuplicates(keyCol)
+  }
+
   /** Streaming entry: parquet-directory source -> windowed counts. */
   def streamFromParquetDir(spark: SparkSession, dir: String): DataFrame = {
     val schema = spark.read.parquet(dir).schema

@@ -73,6 +73,24 @@ class EventStreamSpec extends AnyFunSuite with SparkTestBase {
     assert(streamed.count() > 0)
   }
 
+  test("streaming dedup keeps first occurrence per key; state bounded by watermark") {
+    val dir = java.nio.file.Files.createTempDirectory("dedup-stream").toString
+    val base = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+      .select(col("event_id"), col("ts").cast("timestamp").as("ts"), col("event_type"))
+    base.unionAll(base).write.mode("overwrite").parquet(dir) // every event duplicated
+    val src = spark.readStream.schema(spark.read.parquet(dir).schema).parquet(dir)
+    val q = EventStream.dedupByKey(src, "event_id")
+      .writeStream.outputMode("append")
+      .format("memory").queryName("dedup_stream")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val streamed = spark.table("dedup_stream")
+    assert(streamed.count() == base.count())
+    assert(streamed.groupBy("event_id").count().where(col("count") > 1).isEmpty)
+    // batch path: same operator degenerates to distinct-by-key
+    assert(EventStream.dedupByKey(spark.read.parquet(dir), "event_id").count() == base.count())
+  }
+
   test("sessionizer: gap splits sessions; totals preserved") {
     val events = Seq(
       EventStream.Event(1, ts(0), 7L, "a", 1.0),
