@@ -232,13 +232,21 @@ object Er {
     * (Kiveris et al., "Connected Components in MapReduce and Beyond" —
     * O(log n) rounds, shuffle-bounded; the scale-safe alternative to label
     * propagation whose round count is the component diameter). Driver loop
-    * with localCheckpoint per round to cut lineage (SURVEY.md §4).
+    * with a per-round lineage cut (reliable checkpoint on a cluster,
+    * localCheckpoint on a single box — SURVEY.md §4).
     *
     * Returns (id, entity) for every node present in `edgeDf`; entity is the
     * component's minimum id.
     */
   def connectedComponents(edgeDf: DataFrame): DataFrame = {
     val spark = edgeDf.sparkSession
+    // per-round lineage cut: reliable checkpoint when the session has a
+    // checkpoint dir (the cluster path — survives executor loss and keeps
+    // the plan O(1) regardless of round count); localCheckpoint otherwise
+    // (single-box path: RDD blocks on local storage)
+    def cut(df: DataFrame): DataFrame =
+      if (spark.sparkContext.getCheckpointDir.isDefined) df.checkpoint()
+      else df.localCheckpoint()
 
     def largeStar(e: DataFrame): DataFrame = {
       val bidir = e.select(col("u"), col("v"))
@@ -268,7 +276,7 @@ object Er {
       .select(col("id_a").as("u"), col("id_b").as("v"))
       .where(col("u") =!= col("v"))
       .distinct()
-      .localCheckpoint()
+      .localCheckpoint() // initial cut is cheap either way
     if (e.isEmpty) {
       return e.select(col("u").as("id"), col("v").as("entity"))
     }
@@ -277,7 +285,7 @@ object Er {
     var iters = 0
     var sig = signature(e)
     while (!converged && iters < 50) {
-      val next = smallStar(largeStar(e)).localCheckpoint()
+      val next = cut(smallStar(largeStar(e)))
       val nextSig = signature(next)
       converged = nextSig == sig
       sig = nextSig
