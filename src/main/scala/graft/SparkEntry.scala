@@ -386,6 +386,13 @@ object SparkEntry {
         .select(col("id_a"), col("id_b"), col("hamming").cast("long").as("hamming"))
         .orderBy("id_a", "id_b")
     }),
+    "dd06_minhash_dedup" -> ((s, dir) => {
+      // the materialized dedup: surviving ids after collapsing MinHash
+      // near-dup components to their minimum id
+      val docs = erInput(s, dir).select(col("id"), col("content"))
+      val pairs = Dedup.minHashPairs(docs, threshold = 0.5)
+      Dedup.dedupSurvivors(docs.select(col("id")), pairs).orderBy("id")
+    }),
     "dd05_embedding_neardup" -> ((s, dir) => {
       Dedup.embeddingNearDups(
           table(s, dir, "embeddings")
@@ -461,6 +468,26 @@ object SparkEntry {
   )
 
   // --------------------------------------------------------------- oracles
+
+  /** Shared CTE chain (appended after a corpus CTE): MinHash signatures,
+    * band hashes, capped candidate buckets, and signature-estimated
+    * Jaccard — the DuckDB twin of Dedup.minHashPairs with its defaults
+    * (k=5, 64 hashes, 16 bands, maxBucket 64, seed 42). */
+  private lazy val MinhashPairsCtes =
+    s"""${DuckHash.minhashSigsCtes("corpus", 64, 42L, "sigs")},
+       |${DuckHash.bandHashCtes("sigs", 64, 16, "bands")},
+       |bsz AS (SELECT b, bhash, count(*) AS n FROM bands GROUP BY 1, 2),
+       |elig AS MATERIALIZED (SELECT bands.id, bands.b, bands.bhash FROM bands
+       |         JOIN bsz USING (b, bhash) WHERE n BETWEEN 2 AND 64),
+       |cand AS (SELECT DISTINCT la.id AS id_a, lb.id AS id_b
+       |         FROM elig la JOIN elig lb
+       |           ON la.b = lb.b AND la.bhash = lb.bhash AND la.id < lb.id),
+       |est AS (
+       |  SELECT cand.id_a, cand.id_b,
+       |    CAST(len(list_filter(range(1, 65), i -> sa.sig[i] = sb.sig[i])) AS DOUBLE) / 64
+       |      AS est_jaccard
+       |  FROM cand JOIN sigs sa ON sa.id = cand.id_a
+       |            JOIN sigs sb ON sb.id = cand.id_b)""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
     "q01_pricing_agg" ->
@@ -624,22 +651,22 @@ object SparkEntry {
         |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
     "dd03_minhash_pairs" ->
       s"""$ErCorpusCte,
-         |${DuckHash.minhashSigsCtes("corpus", 64, 42L, "sigs")},
-         |${DuckHash.bandHashCtes("sigs", 64, 16, "bands")},
-         |bsz AS (SELECT b, bhash, count(*) AS n FROM bands GROUP BY 1, 2),
-         |elig AS (SELECT bands.id, bands.b, bands.bhash FROM bands
-         |         JOIN bsz USING (b, bhash) WHERE n BETWEEN 2 AND 64),
-         |cand AS (SELECT DISTINCT la.id AS id_a, lb.id AS id_b
-         |         FROM elig la JOIN elig lb
-         |           ON la.b = lb.b AND la.bhash = lb.bhash AND la.id < lb.id),
-         |est AS (
-         |  SELECT cand.id_a, cand.id_b,
-         |    CAST(len(list_filter(range(1, 65), i -> sa.sig[i] = sb.sig[i])) AS DOUBLE) / 64
-         |      AS est_jaccard
-         |  FROM cand JOIN sigs sa ON sa.id = cand.id_a
-         |            JOIN sigs sb ON sb.id = cand.id_b)
+         |$MinhashPairsCtes
          |SELECT id_a, id_b, est_jaccard FROM est
          |WHERE est_jaccard >= 0.5 ORDER BY id_a, id_b""".stripMargin,
+    "dd06_minhash_dedup" ->
+      s"""${ErCorpusCte.replaceFirst("WITH ", "WITH RECURSIVE ")},
+         |$MinhashPairsCtes,
+         |mpairs AS (SELECT id_a, id_b FROM est WHERE est_jaccard >= 0.5),
+         |bidir AS (SELECT id_a AS u, id_b AS v FROM mpairs
+         |          UNION SELECT id_b, id_a FROM mpairs),
+         |reach(id, r) AS (
+         |  SELECT id, id FROM corpus
+         |  UNION
+         |  SELECT b.v, reach.r FROM bidir b JOIN reach ON reach.id = b.u
+         |  WHERE reach.r < b.v),
+         |ent AS (SELECT id, min(r) AS entity FROM reach GROUP BY id)
+         |SELECT id FROM ent WHERE id = entity ORDER BY id""".stripMargin,
     "dd04_simhash_pairs" ->
       s"""$Dd04Cte,
          |${DuckHash.simhashCtes("dd", 42L, "sh")},
@@ -647,7 +674,7 @@ object SparkEntry {
          |  SELECT id, b, (simhash >> CAST(b * 16 AS INTEGER)) & CAST(65535 AS UBIGINT) AS bits
          |  FROM sh, unnest(range(0, 4)) t(b)),
          |bsz AS (SELECT b, bits, count(*) AS n FROM bands GROUP BY 1, 2),
-         |elig AS (SELECT bands.id, bands.b, bands.bits FROM bands
+         |elig AS MATERIALIZED (SELECT bands.id, bands.b, bands.bits FROM bands
          |         JOIN bsz USING (b, bits) WHERE n BETWEEN 2 AND 64),
          |cand AS (SELECT DISTINCT la.id AS id_a, lb.id AS id_b
          |         FROM elig la JOIN elig lb
@@ -691,7 +718,7 @@ object SparkEntry {
       s"""WITH emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
          |${DuckHash.hyperplaneBucketCtes("emb", 64, 6, 2, 42L, "bk")},
          |bsz AS (SELECT tbl, bucket, count(*) AS n FROM bk GROUP BY 1, 2),
-         |elig AS (SELECT bk.vec_id, bk.tbl, bk.bucket FROM bk
+         |elig AS MATERIALIZED (SELECT bk.vec_id, bk.tbl, bk.bucket FROM bk
          |         JOIN bsz USING (tbl, bucket) WHERE n BETWEEN 2 AND 256),
          |cand AS (SELECT DISTINCT la.vec_id AS id_a, lb.vec_id AS id_b
          |         FROM elig la JOIN elig lb

@@ -110,6 +110,19 @@ object Dedup {
           (col("na") + col("nb") - coalesce(col("inter"), lit(0L)))).as("jaccard"))
   }
 
+  /** Materialize the dedup: one survivor (the minimum id) per connected
+    * component of the near-dup pair graph, singletons kept. Composes the
+    * ER clustering (large-star/small-star CC — O(log n) shuffle-bounded
+    * rounds) with an anti-join, so the result is the deduped corpus a
+    * training pipeline actually feeds downstream. `docs` needs an `id`
+    * column; `pairs` is any (id_a, id_b) near-dup pair set (MinHash,
+    * SimHash, embedding, or WFA-scored edges). */
+  def dedupSurvivors(docs: DataFrame, pairs: DataFrame): DataFrame = {
+    val comps = graft.pipeline.Er.connectedComponents(pairs.select("id_a", "id_b"))
+    val losers = comps.where(col("id") =!= col("entity")).select("id")
+    docs.join(losers, Seq("id"), "left_anti")
+  }
+
   /** Embedding cosine near-duplicate pairs (brute force within id-range
     * blocks; for the scale path see Similarity.lshCosinePairs). */
   def embeddingNearDups(embeddings: DataFrame, threshold: Double): DataFrame = {

@@ -15,18 +15,36 @@ package graft.oracle
   */
 object DuckHash {
 
-  private val W = "CAST(18446744073709551616 AS UHUGEINT)" // 2^64
+  // mod 2^64 via bitwise AND with 2^64-1: identical for unsigned values,
+  // and ~90x faster — DuckDB does not strength-reduce `%` by a 128-bit
+  // constant (measured 27.8 s vs 0.3 s for the full signature chain)
+  private val Mask = "CAST(18446744073709551615 AS UHUGEINT)" // 2^64 - 1
 
   /** (a * b) mod 2^64 on UBIGINT expressions. */
   def mulw(a: String, b: String): String =
-    s"CAST((CAST($a AS UHUGEINT) * CAST($b AS UHUGEINT)) % $W AS UBIGINT)"
+    s"CAST((CAST($a AS UHUGEINT) * CAST($b AS UHUGEINT)) & $Mask AS UBIGINT)"
 
   /** (a + b) mod 2^64 on UBIGINT expressions. */
   def addw(a: String, b: String): String =
-    s"CAST((CAST($a AS UHUGEINT) + CAST($b AS UHUGEINT)) % $W AS UBIGINT)"
+    s"CAST((CAST($a AS UHUGEINT) + CAST($b AS UHUGEINT)) & $Mask AS UBIGINT)"
+
+  /** splitmix64 staged one step per NESTED SUBQUERY level — constant work
+    * per row. (Lateral aliases are substituted textually by DuckDB, so a
+    * whole splitmix in one select list costs ~8x its input expression;
+    * fine for small row counts, ruinous on the 20M-row signature chain.)
+    * `carry` columns pass through; the result column is `outCol`;
+    * `from` is a table/CTE name or parenthesized subquery. */
+  def splitmixNested(from: String, in: String, carry: Seq[String], outCol: String): String = {
+    val cs = carry.mkString(", ")
+    s"""SELECT $cs, xor(s3, s3 >> 31) AS $outCol FROM (
+       |  SELECT $cs, ${mulw("xor(s2, s2 >> 27)", "10723151780598845931")} AS s3 FROM (
+       |    SELECT $cs, ${mulw("xor(s1, s1 >> 30)", "13787848793156543929")} AS s2 FROM (
+       |      SELECT $cs, ${addw(in, "11400714819323198485")} AS s1 FROM $from)))""".stripMargin
+  }
 
   /** splitmix64 staged through lateral aliases `<p>1..<p>3`; the returned
     * SELECT-list fragment's final (unaliased) expression is the result.
+    * Only for SMALL row counts — see [[splitmixNested]].
     * Matches Hashing.splitmix64 (Steele et al., OOPSLA'14 finalizer). */
   def splitmixCols(in: String, p: String): String =
     s"""${addw(in, "11400714819323198485")} AS ${p}1,
@@ -76,44 +94,40 @@ object DuckHash {
        |  SELECT id, ${fnvShingle("content", 5, seed)} AS fv
        |  FROM $corpusCte, unnest(range(1, greatest(length(content) - 4, 1) + 1)) t(i)),
        |${out}_shb AS (
-       |  SELECT id,
-       |    ${splitmixCols("fv", "x")} AS base
-       |  FROM ${out}_sh),
+       |  ${splitmixNested(s"${out}_sh", "fv", Seq("id"), "base")}),
        |${out}_hj AS (
-       |  SELECT id, j,
-       |    xor(base, $jmix) AS y0,
-       |    ${splitmixCols("y0", "y")} AS h
-       |  FROM ${out}_shb, unnest(range(0, $numHashes)) t(j)),
+       |  ${splitmixNested(
+            s"""(SELECT id, j, xor(base, $jmix) AS y0
+               |   FROM ${out}_shb, unnest(range(0, $numHashes)) t(j))""".stripMargin,
+            "y0", Seq("id", "j"), "h")}),
        |${out}_sigj AS (
        |  SELECT id, j, ${signedMin("h")} AS s
        |  FROM ${out}_hj GROUP BY 1, 2),
-       |$out AS (SELECT id, list(s ORDER BY j) AS sig FROM ${out}_sigj GROUP BY id)""".stripMargin
+       |$out AS MATERIALIZED (SELECT id, list(s ORDER BY j) AS sig FROM ${out}_sigj GROUP BY id)""".stripMargin
   }
 
-  /** Lateral-alias fragment computing Hashing.bandHashes for band column
-    * `b` over 1-indexed list column `sigCol` with `r` rows per band:
-    * h = GOLDEN * (b+1); r times h = splitmix64(h XOR sig[b*r + s]). The
-    * final alias `g<r>` is the band hash. */
-  def bandHashCols(sigCol: String, r: Int): String = {
-    val parts = new StringBuilder
-    parts.append(mulw("11400714819323198485", "CAST(b + 1 AS UBIGINT)"))
-      .append(" AS g0,\n    ")
-    for (s <- 0 until r) {
-      parts.append(splitmixCols(s"xor(g$s, $sigCol[b * $r + ${s + 1}])", s"g${s}s"))
-        .append(s" AS g${s + 1}")
-      if (s < r - 1) parts.append(",\n    ")
-    }
-    parts.toString
-  }
-
-  /** CTE `<out>` = (id, b, bhash) — LSH banding over `sigsCte`(id, sig). */
+  /** CTE `<out>` = (id, b, bhash) — LSH banding over `sigsCte`(id, sig):
+    * h = GOLDEN * (b+1); r times h = splitmix64(h XOR sig[b*r + s]).
+    *
+    * One splitmix64 stage per NESTED SUBQUERY level, never chained through
+    * lateral aliases in one select list: DuckDB substitutes lateral
+    * aliases textually, so chaining k stages in one level grows the
+    * expression tree ~8^k (measured: 5.7 s/evaluation at r=4 vs
+    * milliseconds staged). The result is MATERIALIZED — DuckDB inlines
+    * plain CTEs, re-evaluating this chain once per downstream reference. */
   def bandHashCtes(sigsCte: String, numHashes: Int, bands: Int, out: String): String = {
     val r = numHashes / bands
-    s"""$out AS (
-       |  SELECT id, b, g$r AS bhash FROM (
-       |    SELECT id, b,
-       |    ${bandHashCols("sig", r)}
-       |    FROM $sigsCte, unnest(range(0, $bands)) t(b)))""".stripMargin
+    var inner =
+      s"""SELECT id, sig, b, ${mulw("11400714819323198485", "CAST(b + 1 AS UBIGINT)")} AS g0
+         |FROM $sigsCte, unnest(range(0, $bands)) t(b)""".stripMargin
+    for (s <- 0 until r) {
+      inner =
+        s"""SELECT id, sig, b,
+           |    ${splitmixCols(s"xor(g$s, sig[b * $r + ${s + 1}])", s"g${s}s")} AS g${s + 1}
+           |FROM ($inner)""".stripMargin
+    }
+    s"""$out AS MATERIALIZED (
+       |  SELECT id, b, g$r AS bhash FROM ($inner))""".stripMargin
   }
 
   /** CTE chain `<out>` = (id, simhash UBIGINT) reproducing
@@ -130,7 +144,7 @@ object DuckHash {
        |${out}_votes AS (
        |  SELECT id, b, sum(CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END) AS v
        |  FROM ${out}_thm, unnest(range(0, 64)) t(b) GROUP BY 1, 2),
-       |$out AS (
+       |$out AS MATERIALIZED (
        |  SELECT id,
        |    CAST(sum(CASE WHEN v > 0 THEN CAST(1 AS UBIGINT) << b ELSE CAST(0 AS UBIGINT) END) AS UBIGINT) AS simhash
        |  FROM ${out}_votes GROUP BY id)""".stripMargin
@@ -157,7 +171,7 @@ object DuckHash {
        |  SELECT vec_id, tbl, p,
        |    list_reduce(list_transform(range(1, $dim + 1), i -> v[i] * cl[i]), (a, x) -> a + x) AS dot
        |  FROM $embCte, ${out}_comps),
-       |$out AS (
+       |$out AS MATERIALIZED (
        |  SELECT vec_id, tbl,
        |    CAST(sum(CASE WHEN dot >= 0 THEN CAST(1 AS UBIGINT) << p ELSE CAST(0 AS UBIGINT) END) AS UBIGINT) AS bucket
        |  FROM ${out}_dots GROUP BY 1, 2)""".stripMargin
