@@ -117,6 +117,13 @@ class OpsSpec extends AnyFunSuite with SparkTestBase {
     assert(none.getLong(0) == 0L && none.getLong(1) == 0L)
   }
 
+  test("dedupSurvivors keeps the min id per near-dup component, singletons intact") {
+    val ids = spark.range(1, 13).select(col("id"))
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("id_a", "id_b")
+    val kept = Dedup.dedupSurvivors(ids, pairs).collect().map(_.getLong(0)).toSet
+    assert(kept == (1L to 12L).toSet -- Set(2L, 3L, 11L))
+  }
+
   test("minhash est_jaccard is the signature match fraction") {
     val out = Dedup.minHashPairs(docs, threshold = 0.0, maxBucket = 64)
       .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
