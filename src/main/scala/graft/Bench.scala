@@ -28,9 +28,13 @@ object Bench {
       .config("spark.local.dir",
         if (new java.io.File("/dev/shm").isDirectory) "/dev/shm/graft-spark"
         else System.getProperty("java.io.tmpdir"))
-      // finer than core count: quadratic per-block join work is skewed, and
-      // finer tasks + AQE coalescing smooth the stragglers
-      .config("spark.sql.shuffle.partitions", (cpus.toInt * 4).toString)
+      // one shuffle partition per core: round 1's cpus*4 was the round-2
+      // bench's dominant pathology on this VM — same JVM, same input,
+      // block_and_pair = 8-18 s at 32 partitions vs 41-147 s at 128
+      // (graft.tools.PairScale; many small /dev/shm shuffle files × 32
+      // concurrent writers). Skew smoothing comes from AQE, not from
+      // over-partitioning. On a real cluster this is 2-3x total cores.
+      .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
@@ -63,7 +67,7 @@ object Bench {
     // parallelism floor in Er.score then has nothing to do)
     val pairsIn = Er.withContents(
         Er.candidatePairs(Er.blocks(corpus, cfg), cfg), corpus)
-      .repartition(cpus.toInt * 4)
+      .repartition(cpus.toInt * 2)
       .persist(StorageLevel.MEMORY_AND_DISK)
     val (nCand, tBlock) = time(pairsIn.count())
 

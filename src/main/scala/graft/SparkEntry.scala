@@ -136,8 +136,10 @@ object SparkEntry {
       val withBytes = pairs
         .join(corpus.select(col("id").as("id_a"), col("content").cast("binary").as("ba")), "id_a")
         .join(corpus.select(col("id").as("id_b"), col("content").cast("binary").as("bb")), "id_b")
-        // parallelism floor for the CPU-bound scorer (see Er.score)
-        .repartition(spark.sparkContext.defaultParallelism * 4)
+        // parallelism floor for the CPU-bound scorer (see Er.score); 2x
+        // cores — over-partitioned shuffles are this VM's dominant bench
+        // pathology (graft.tools.PairScale)
+        .repartition(spark.sparkContext.defaultParallelism * 2)
       withBytes.select($"id_a".as[Long], $"id_b".as[Long], $"ba".as[Array[Byte]], $"bb".as[Array[Byte]])
         .mapPartitions { it =>
           val ws = new WfaWorkspace(band, withCigar = false)
@@ -157,7 +159,7 @@ object SparkEntry {
     val withBytes = pairs
       .join(corpus.select(col("id").as("id_a"), col("content").cast("binary").as("ba")), "id_a")
       .join(corpus.select(col("id").as("id_b"), col("content").cast("binary").as("bb")), "id_b")
-      .repartition(spark.sparkContext.defaultParallelism * 4)
+      .repartition(spark.sparkContext.defaultParallelism * 2)
     withBytes.select($"id_a".as[Long], $"id_b".as[Long], $"ba".as[Array[Byte]], $"bb".as[Array[Byte]])
       .mapPartitions { it =>
         val ws = new WfaWorkspace(64, withCigar = true)

@@ -179,8 +179,10 @@ object Er {
     val emitCigars = cfg.emitCigars
     // CPU-bound stage: AQE sizes partitions by bytes and will coalesce a
     // small-byte but compute-heavy input below core count — keep a floor of
-    // 4x parallelism (no-op when the input is already wide, i.e. at scale)
-    val target = spark.sparkContext.defaultParallelism * 4
+    // 2x parallelism (no-op when the input is already wide, i.e. at scale;
+    // was 4x, which silently re-shuffled content inside callers that had
+    // already repartitioned to 2x cores)
+    val target = spark.sparkContext.defaultParallelism * 2
     val input =
       if (pairsWithContents.rdd.getNumPartitions < target)
         pairsWithContents.repartition(target)
