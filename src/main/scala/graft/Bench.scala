@@ -73,9 +73,9 @@ object Bench {
 
     // scoring throughput: 8x-replicated cached input, best of 3 runs —
     // amortizes fixed per-stage costs (codegen compile, task launch) that
-    // otherwise dominate a sub-second stage; protocol noted in BASELINE.md
-    // coalesce the 8x union back to 2 partitions/core: 1024 tiny tasks
-    // would hit the single-threaded scheduler floor, not the scorer
+    // otherwise dominate a sub-second stage; protocol noted in BASELINE.md.
+    // coalesce the 8x union back to 2 partitions/core: hundreds of tiny
+    // tasks would hit the single-threaded scheduler floor, not the scorer
     val scoreBenchIn = Iterator.fill(8)(pairsIn).reduce(_ unionAll _)
       .coalesce(cpus.toInt * 2)
       .persist(StorageLevel.MEMORY_AND_DISK)
