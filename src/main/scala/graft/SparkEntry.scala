@@ -318,6 +318,18 @@ object SparkEntry {
         .orderBy("p_brand")
     }),
 
+    "q10_json_props" -> ((s, dir) => {
+      // JSON scalar functions over the events.props column (codegen'd
+      // get_json_object; no UDF)
+      table(s, dir, "events")
+        .select(col("event_type"),
+          get_json_object(col("props"), "$.k").cast("long").as("k"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"), sum("k").as("sum_k"),
+          min("k").as("min_k"), max("k").as("max_k"))
+        .orderBy("event_type")
+    }),
+
     // --- ER pipeline operators (SURVEY.md §2) ---
     "er01_corpus" -> ((s, dir) => {
       erInput(s, dir)
@@ -573,6 +585,12 @@ object SparkEntry {
         |WHERE l_shipdate >= TIMESTAMP '1997-01-01'
         |  AND l_shipdate < TIMESTAMP '1998-01-01'
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q10_json_props" ->
+      """SELECT event_type, count(*) AS n,
+        |  CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+        |  min(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
+        |  max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
     "er01_corpus" ->
       s"""$ErCorpusCte
          |SELECT id, lang, sha256(content) AS sha256, length(content) AS len
