@@ -32,7 +32,11 @@ object DocumentIO {
     ordered(df).write.mode(mode).json(path)
 
   /** CSV with a header and full quoting/escaping — source code content
-    * contains commas, quotes and newlines, all of which must survive. */
+    * contains commas, quotes and newlines, all of which must survive.
+    * SCALE CAVEAT: multiLine=true (required for quoted newlines) makes
+    * each CSV file a single input split, so parallelism is bounded by
+    * file count. Prefer JSONL (line-splittable) or Parquet for large
+    * corpora; CSV is an interchange convenience. */
   def readCsv(spark: SparkSession, path: String): DataFrame =
     spark.read.schema(docSchema)
       .option("header", "true")
