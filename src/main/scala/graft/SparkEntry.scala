@@ -26,14 +26,19 @@ object SparkEntry {
     * driver-contract queries: Verify/Bench run every query in one session,
     * and er04..er07/er09 + dd02 all derive from the same candidate/scored
     * frames (round 1 recomputed the WFA scoring 5x per Verify run). */
+  // keyed by the session OBJECT (an identityHashCode key could collide
+  // across GC'd sessions and hand back a frame bound to a stopped one);
+  // frames are MEMORY_AND_DISK and live for the session — Verify/Bench
+  // lifetimes
   private val frameCache =
-    scala.collection.concurrent.TrieMap[String, DataFrame]()
+    scala.collection.concurrent.TrieMap[(SparkSession, String), DataFrame]()
   private def cachedFrame(spark: SparkSession, key: String)
                          (build: => DataFrame): DataFrame =
-    frameCache.getOrElseUpdate(s"${System.identityHashCode(spark)}:$key",
+    frameCache.getOrElseUpdate((spark, key),
       build.persist(StorageLevel.MEMORY_AND_DISK))
 
-  private val bandCache = scala.collection.concurrent.TrieMap[String, Int]()
+  private val bandCache =
+    scala.collection.concurrent.TrieMap[(SparkSession, String), Int]()
 
   /** ER input with deterministically planted near-duplicates: every 5th
     * document gets a copy with the last 7 chars dropped (distance 7 — a
@@ -116,10 +121,11 @@ object SparkEntry {
     * silently saturated while the oracle stayed exact, failing the whole
     * er family at once. */
   private def erBand(spark: SparkSession, dir: String): Int =
-    bandCache.getOrElseUpdate(s"${System.identityHashCode(spark)}:$dir", {
+    bandCache.getOrElseUpdate((spark, dir), {
       val row = erInput(spark, dir).agg(
         max(length(col("content"))).as("max_len"),
         max(col("content").rlike("[^\\x00-\\x7F]").cast("int")).as("non_ascii")).head()
+      require(!row.isNullAt(0), s"corpus at $dir is empty — no documents to score")
       require(row.getInt(1) == 0,
         s"corpus at $dir is not pure ASCII; DuckDB levenshtein oracle would diverge")
       row.getInt(0) + 1
@@ -133,13 +139,18 @@ object SparkEntry {
       val corpus = erInput(spark, dir)
       val pairs = erCandidates(spark, dir)
       val band = erBand(spark, dir)
-      val withBytes = pairs
+      val withBytes0 = pairs
         .join(corpus.select(col("id").as("id_a"), col("content").cast("binary").as("ba")), "id_a")
         .join(corpus.select(col("id").as("id_b"), col("content").cast("binary").as("bb")), "id_b")
-        // parallelism floor for the CPU-bound scorer (see Er.score); 2x
-        // cores — over-partitioned shuffles are this VM's dominant bench
-        // pathology (graft.tools.PairScale)
-        .repartition(spark.sparkContext.defaultParallelism * 2)
+      // parallelism FLOOR for the CPU-bound scorer (see Er.score): only
+      // repartition narrow inputs — an already-wide input must not be
+      // coalesced down (and content bytes shouldn't take a pointless
+      // shuffle). 2x cores, not 4x: over-partitioning is this VM's
+      // dominant bench pathology (graft.tools.PairScale).
+      val target = spark.sparkContext.defaultParallelism * 2
+      val withBytes =
+        if (withBytes0.rdd.getNumPartitions < target) withBytes0.repartition(target)
+        else withBytes0
       withBytes.select($"id_a".as[Long], $"id_b".as[Long], $"ba".as[Array[Byte]], $"bb".as[Array[Byte]])
         .mapPartitions { it =>
           val ws = new WfaWorkspace(band, withCigar = false)
@@ -365,8 +376,8 @@ object SparkEntry {
     }),
     "er09_cigar_edit_ops" -> ((s, dir) =>
       erEdgeCigarStats(s, dir).orderBy("id_a", "id_b")),
-    // LSH blocking stats (non-SQL-expressible: MinHash signatures; driver
-    // does the rows-only check, correctness covered by ErPipelineSpec)
+    // LSH blocking stats — value-level oracle since round 2: DuckHash
+    // reproduces the MinHash signatures + band folds in DuckDB SQL
     "er08_lsh_block_stats" -> ((s, dir) => {
       val corpus = erInput(s, dir)
       Er.blocks(corpus, ErConfig()).groupBy("band")

@@ -88,7 +88,10 @@ object Er {
     // size side carries one skinny row per multi-member block (singleton
     // blocks — the vast majority — produce no pairs and die at this inner
     // join). blocks is cached because the plan traverses it twice (sizes +
-    // probe); at real scale this is a checkpointed stage table instead.
+    // probe); the cache is session-lifetime (no safe pre-action unpersist
+    // point — LRU-evictable, and repeated callers should pass an already-
+    // persisted/checkpointed frame); at real scale this is a checkpointed
+    // stage table instead (ErRunner).
     val cached = blocks.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val sizes = cached.groupBy(keys.map(col): _*)
       .agg(count(lit(1)).as("bsz"))
@@ -141,16 +144,15 @@ object Er {
     * policy) discards — the policy is a constant, so its cost must be
     * observable at scale (round-1 verdict). One row: (n_blocks_dropped,
     * n_rows_dropped, max_block_size). */
-  def blockingLineage(blocks: DataFrame, cfg: ErConfig): DataFrame = {
-    val sizes = blocks.groupBy("lang", "band", "bhash")
-      .agg(count(lit(1)).as("bsz"))
-    sizes.agg(
-      coalesce(sum(when(col("bsz") > cfg.saltedMaxBlockSize, 1L).otherwise(0L)), lit(0L))
+  def blockingLineage(blocks: DataFrame, cfg: ErConfig): DataFrame =
+    // one source of truth for group sizing: ops.Buckets (same groupBy
+    // shape the cap policy itself uses)
+    graft.ops.Buckets.sizes(blocks, Seq("lang", "band", "bhash")).agg(
+      coalesce(sum(when(col("gsz") > cfg.saltedMaxBlockSize, 1L).otherwise(0L)), lit(0L))
         .as("n_blocks_dropped"),
-      coalesce(sum(when(col("bsz") > cfg.saltedMaxBlockSize, col("bsz")).otherwise(0L)), lit(0L))
+      coalesce(sum(when(col("gsz") > cfg.saltedMaxBlockSize, col("gsz")).otherwise(0L)), lit(0L))
         .as("n_rows_dropped"),
-      coalesce(max("bsz"), lit(0L)).as("max_block_size"))
-  }
+      coalesce(max("gsz"), lit(0L)).as("max_block_size"))
 
   /** Attach both contents (two equi-joins against the corpus — ids-only
     * pairs stay skinny through the dedup shuffle; content is joined in
@@ -245,7 +247,10 @@ object Er {
     // per-round lineage cut: reliable checkpoint when the session has a
     // checkpoint dir (the cluster path — survives executor loss and keeps
     // the plan O(1) regardless of round count); localCheckpoint otherwise
-    // (single-box path: RDD blocks on local storage)
+    // (single-box path: RDD blocks on local storage). Checkpoint files of
+    // superseded rounds accumulate until GC'd — long-lived cluster
+    // sessions should set spark.cleaner.referenceTracking.cleanCheckpoints
+    // =true so finished rounds' files are removed (see SCALING.md)
     def cut(df: DataFrame): DataFrame =
       if (spark.sparkContext.getCheckpointDir.isDefined) df.checkpoint()
       else df.localCheckpoint()

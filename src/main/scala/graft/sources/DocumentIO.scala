@@ -37,11 +37,17 @@ object DocumentIO {
     * each CSV file a single input split, so parallelism is bounded by
     * file count. Prefer JSONL (line-splittable) or Parquet for large
     * corpora; CSV is an interchange convenience. */
+  // explicit null sentinel so empty string and null both round-trip (the
+  // CSV reader's default maps empty fields to null)
+  private val CsvNull = "\\N"
+
   def readCsv(spark: SparkSession, path: String): DataFrame =
     spark.read.schema(docSchema)
       .option("header", "true")
       .option("multiLine", "true") // quoted newlines inside content
       .option("escape", "\"")
+      .option("nullValue", CsvNull)
+      .option("emptyValue", "")
       .csv(path)
 
   def writeCsv(df: DataFrame, path: String,
@@ -49,5 +55,7 @@ object DocumentIO {
     ordered(df).write.mode(mode)
       .option("header", "true")
       .option("escape", "\"")
+      .option("nullValue", CsvNull)
+      .option("emptyValue", "\"\"")
       .csv(path)
 }

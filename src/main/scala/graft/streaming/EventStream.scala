@@ -31,8 +31,15 @@ object EventStream {
     * buffered and sorted a user's whole history in one state object, so a
     * hot user OOMed a task at scale). */
   final case class OpenSession(n: Int, total: Double, startMs: Long, endMs: Long) {
+    /** Absorb an event into the open session. min/max rather than
+      * overwrite: in streaming, an out-of-order event that is still
+      * inside the watermark arrives in a LATER micro-batch than its
+      * successors — overwriting endMs with it would rewind the session
+      * end below its start (and mis-place the next gap split). On the
+      * sorted batch path min/max degenerate to plain assignment. */
     def absorb(e: Event): OpenSession =
-      OpenSession(n + 1, total + e.value, startMs, e.ts.getTime)
+      OpenSession(n + 1, total + e.value,
+        math.min(startMs, e.ts.getTime), math.max(endMs, e.ts.getTime))
     def toSession(userId: Long): Session =
       Session(userId, n, total, new Timestamp(startMs), new Timestamp(endMs))
   }
@@ -120,17 +127,25 @@ object EventStream {
       }
   }
 
-  /** Streaming exact dedup: keep the first occurrence of each key within
-    * the watermark horizon — state is one row per key and is EVICTED once
-    * the watermark passes (bounded, unlike a plain dropDuplicates whose
-    * state grows forever on an unbounded stream). Works identically on a
-    * batch DataFrame (where it degenerates to distinct-by-key). */
+  /** Exact dedup by key: one survivor per `keyCol`. Streaming: the first
+    * arrival within the watermark horizon — state is one row per key and
+    * is EVICTED once the watermark passes (bounded, unlike a plain
+    * dropDuplicates whose state grows forever on an unbounded stream).
+    * Batch: the earliest row by `tsCol` (deterministic, unlike
+    * dropDuplicates' arbitrary survivor). The two coincide whenever
+    * arrival order matches event time — exact equality of survivors under
+    * out-of-order arrival is not promised (first-ARRIVED vs earliest). */
   def dedupByKey(events: DataFrame, keyCol: String,
-                 watermark: String = "10 minutes"): DataFrame = {
-    val withWm = events.withWatermark("ts", watermark)
-    if (events.isStreaming) withWm.dropDuplicatesWithinWatermark(keyCol)
-    else withWm.dropDuplicates(keyCol)
-  }
+                 tsCol: String = "ts",
+                 watermark: String = "10 minutes"): DataFrame =
+    if (events.isStreaming)
+      events.withWatermark(tsCol, watermark).dropDuplicatesWithinWatermark(keyCol)
+    else {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(keyCol).orderBy(col(tsCol))
+      events.withColumn("__rn", row_number().over(w))
+        .where(col("__rn") === 1).drop("__rn")
+    }
 
   /** Streaming entry: parquet-directory source -> windowed counts. */
   def streamFromParquetDir(spark: SparkSession, dir: String): DataFrame = {

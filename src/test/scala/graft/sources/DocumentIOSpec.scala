@@ -15,7 +15,8 @@ class DocumentIOSpec extends AnyFunSuite with SparkTestBase {
     (2L, "r1", "a/c.json", "c0", "json", "{\"k\": [1, 2, {\"n\": \"v\"}]}"),
     (3L, "r2", "d.txt", "c1", "text", "line one\nline two, with commas\n\"quoted\""),
     (4L, "r2", "e.py", "c1", "python", "print('unicode: é世界')"),
-    (5L, "r2", "f.md", "c1", null, null) // null lang + content survive
+    (5L, "r2", "f.md", "c1", null, null), // null lang + content survive
+    (6L, "r3", "g.txt", "c2", "text", "") // empty string stays "", not null
   ).toDF("id", "repo", "path", "commit", "lang", "content")
 
   private def slurp(df: org.apache.spark.sql.DataFrame) =
@@ -41,6 +42,6 @@ class DocumentIOSpec extends AnyFunSuite with SparkTestBase {
     val dir = java.nio.file.Files.createTempDirectory("docs-jsonl-er").toString
     DocumentIO.writeJsonl(docs.where(col("content").isNotNull), dir)
     val corpus = graft.pipeline.Corpus.withDerived(DocumentIO.readJsonl(spark, dir))
-    assert(corpus.select("sha256").distinct().count() == 4)
+    assert(corpus.select("sha256").distinct().count() == 5) // incl. sha256("")
   }
 }
