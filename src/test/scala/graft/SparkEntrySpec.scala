@@ -31,5 +31,14 @@ class SparkEntrySpec extends AnyFunSuite with SparkTestBase {
     // since round 2 EVERY query is oracle-checked — no rows-only checks left
     val unoracled = SparkEntry.queries.keySet diff SparkEntry.oracleSql.keySet
     assert(unoracled.isEmpty, s"queries without a DuckDB oracle: $unoracled")
+    // the driver executes each oracle as ONE statement — no statement
+    // separators outside string literals (txt01's punctuation regex
+    // legitimately contains ';' inside quotes)
+    SparkEntry.oracleSql.foreach { case (name, sql) =>
+      val stripped = sql
+        .replaceAll("'(?:[^']|'')*'", "''") // string literals
+        .replaceAll("--[^\n]*", "")         // line comments
+      assert(!stripped.contains(";"), s"$name oracle must be a single statement")
+    }
   }
 }
