@@ -124,6 +124,24 @@ class OpsSpec extends AnyFunSuite with SparkTestBase {
     assert(kept == (1L to 12L).toSet -- Set(2L, 3L, 11L))
   }
 
+  test("cappedSelfJoinPairs equals the naive per-group pair set (randomized)") {
+    val rnd = new scala.util.Random(7)
+    for (_ <- 1 to 5) {
+      val n = 40 + rnd.nextInt(60)
+      val rows = (0 until n).map(i => (s"g${rnd.nextInt(8)}", i.toLong))
+      val cap = 3 + rnd.nextInt(10)
+      val df = rows.toDF("key", "id")
+      val got = Buckets.cappedSelfJoinPairs(df, Seq("key"), cap)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val naive = rows.groupBy(_._1).values.filter(g => g.size >= 2 && g.size <= cap)
+        .flatMap { g =>
+          val ids = g.map(_._2)
+          for { a <- ids; b <- ids if a < b } yield (a, b)
+        }.toSet
+      assert(got == naive, s"cap=$cap n=$n")
+    }
+  }
+
   test("minhash est_jaccard is the signature match fraction") {
     val out = Dedup.minHashPairs(docs, threshold = 0.0, maxBucket = 64)
       .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap

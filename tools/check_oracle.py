@@ -15,16 +15,21 @@ for p in glob.glob(f"{sf_dir}/*.parquet"):
 
 oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
 results = {}
+timings = {}
 for name, sql in sorted(oracle.items()):
     spark_path = f"{out_dir}/{name}"
     if not os.path.exists(spark_path):
         results[name] = "MISSING_SPARK_OUTPUT"
         continue
+    import time as _t
+    t0 = _t.time()
     try:
         ora = con.execute(sql).fetchdf()
     except Exception as e:
         results[name] = f"ORACLE_SQL_ERROR: {e}"
         continue
+    finally:
+        timings[name] = _t.time() - t0
     spk = con.execute(
         f"SELECT * FROM '{spark_path}/*.parquet'").fetchdf()
     # driver-style compare: sort columns by name, then rows, then values
@@ -70,6 +75,8 @@ for name, sql in sorted(oracle.items()):
 
 ok = sum(1 for v in results.values() if v == "OK")
 for name, v in sorted(results.items()):
-    print(("PASS " if v == "OK" else "FAIL ") + name + ("" if v == "OK" else f"  {v}"))
-print(f"\n{ok}/{len(results)} oracle-checked queries match")
+    t = f" [{timings.get(name, 0):5.1f}s]" if timings.get(name, 0) >= 0.5 else ""
+    print(("PASS " if v == "OK" else "FAIL ") + name + t + ("" if v == "OK" else f"  {v}"))
+print(f"\n{ok}/{len(results)} oracle-checked queries match "
+      f"(oracle wall {sum(timings.values()):.0f}s)")
 sys.exit(0 if ok == len(results) else 1)
