@@ -632,12 +632,12 @@ object SparkEntry {
          |ORDER BY p.id_a, p.id_b""".stripMargin,
     "er06_clusters" ->
       s"""${ErPairsCte.replaceFirst("WITH ", "WITH RECURSIVE ")},
-         |edges AS (
+         |edges AS MATERIALIZED (
          |  SELECT p.id_a AS u, p.id_b AS v FROM pairs p
          |  JOIN corpus ca ON ca.id = p.id_a
          |  JOIN corpus cb ON cb.id = p.id_b
          |  WHERE levenshtein(ca.content, cb.content) <= 63),
-         |bidir AS (SELECT u, v FROM edges UNION SELECT v, u FROM edges),
+         |bidir AS MATERIALIZED (SELECT u, v FROM edges UNION SELECT v, u FROM edges),
          |reach(id, r) AS (
          |  SELECT id, id FROM corpus
          |  UNION
@@ -646,12 +646,12 @@ object SparkEntry {
          |SELECT id, min(r) AS entity FROM reach GROUP BY id ORDER BY id""".stripMargin,
     "er07_cluster_sizes" ->
       s"""${ErPairsCte.replaceFirst("WITH ", "WITH RECURSIVE ")},
-         |edges AS (
+         |edges AS MATERIALIZED (
          |  SELECT p.id_a AS u, p.id_b AS v FROM pairs p
          |  JOIN corpus ca ON ca.id = p.id_a
          |  JOIN corpus cb ON cb.id = p.id_b
          |  WHERE levenshtein(ca.content, cb.content) <= 63),
-         |bidir AS (SELECT u, v FROM edges UNION SELECT v, u FROM edges),
+         |bidir AS MATERIALIZED (SELECT u, v FROM edges UNION SELECT v, u FROM edges),
          |reach(id, r) AS (
          |  SELECT id, id FROM corpus
          |  UNION
@@ -689,7 +689,7 @@ object SparkEntry {
       s"""${ErCorpusCte.replaceFirst("WITH ", "WITH RECURSIVE ")},
          |$MinhashPairsCtes,
          |mpairs AS (SELECT id_a, id_b FROM est WHERE est_jaccard >= 0.5),
-         |bidir AS (SELECT id_a AS u, id_b AS v FROM mpairs
+         |bidir AS MATERIALIZED (SELECT id_a AS u, id_b AS v FROM mpairs
          |          UNION SELECT id_b, id_a FROM mpairs),
          |reach(id, r) AS (
          |  SELECT id, id FROM corpus
