@@ -27,22 +27,34 @@ final class StageRunner(spark: SparkSession, baseDir: String) {
     Files.exists(Paths.get(path(name), "_SUCCESS"))
 
   /** Run (or resume) a stage. `compute` is only invoked when the stage's
-    * checkpoint is absent or incomplete. */
-  def stage(name: String)(compute: => DataFrame): DataFrame = {
+    * checkpoint is absent or incomplete.
+    *
+    * `partitionCols` Hive-partitions the checkpoint table (e.g. by lang),
+    * so a resumed run — or any downstream reader with a partition-column
+    * predicate — prunes directories instead of re-reading the whole stage
+    * table (round-2 verdict #1: at 100 TB a flat resume re-read is the
+    * cost of the stage itself). The row count for the lineage table rides
+    * the checkpoint write as an `observe()` metric — one job per stage,
+    * never a second count-the-table scan. */
+  def stage(name: String, partitionCols: Seq[String] = Nil)
+           (compute: => DataFrame): DataFrame = {
     if (!isComplete(name)) {
       computed += name
       val t0 = System.nanoTime()
-      val df = compute
-      df.write.mode(SaveMode.Overwrite).parquet(path(name))
+      val obs = org.apache.spark.sql.Observation(s"graft_lineage_$name")
+      val df = compute.observe(obs, count(lit(1)).as("rows"))
+      val w = df.write.mode(SaveMode.Overwrite)
+      (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w)
+        .parquet(path(name))
       val wallMs = (System.nanoTime() - t0) / 1e6
-      writeLineage(name, wallMs)
+      val rows = obs.get("rows").asInstanceOf[Long]
+      writeLineage(name, rows, wallMs)
     }
     spark.read.parquet(path(name))
   }
 
-  private def writeLineage(name: String, wallMs: Double): Unit = {
+  private def writeLineage(name: String, rows: Long, wallMs: Double): Unit = {
     import spark.implicits._
-    val rows = spark.read.parquet(path(name)).count()
     Seq((name, rows, wallMs))
       .toDF("stage", "rows", "wall_ms")
       .write.mode(SaveMode.Overwrite).parquet(s"$baseDir/_lineage/$name")

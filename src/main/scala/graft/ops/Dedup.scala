@@ -123,8 +123,11 @@ object Dedup {
     docs.join(losers, Seq("id"), "left_anti")
   }
 
-  /** Embedding cosine near-duplicate pairs (brute force within id-range
-    * blocks; for the scale path see Similarity.lshCosinePairs). */
+  /** Embedding cosine near-duplicate pairs, brute force — O(n²), a
+    * BroadcastNestedLoopJoin. TEST-ONLY exactness oracle (round-2 verdict):
+    * the blessed contract/scale path is [[Similarity.lshCosinePairs]]
+    * (bucketed candidates -> exact cosine filter), whose output is a
+    * subset of this one at the same threshold (property-tested). */
   def embeddingNearDups(embeddings: DataFrame, threshold: Double): DataFrame = {
     val a = embeddings.select(col("vec_id").as("id_a"), col("embedding").as("va"))
     val b = embeddings.select(col("vec_id").as("id_b"), col("embedding").as("vb"))

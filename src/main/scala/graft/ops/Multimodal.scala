@@ -67,6 +67,42 @@ object Multimodal {
       .toDF()
   }
 
+  /** Quarantine-routing decode (the 100-TB ingest shape): corrupt blobs
+    * must not kill the task — the reference fails the whole batch on a
+    * malformed record (/root/reference/utils/sequence_reader.cu:156-168),
+    * which is right for a CLI and wrong for a petabyte ingest. One decode
+    * pass emits every row tagged with a nullable `error`; callers split it
+    * into the good stream and the quarantine sink. Cache (or checkpoint)
+    * the returned frame before splitting so the decode runs once, not once
+    * per branch. */
+  def extractMetaTagged(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("id").as[Long], col("media").as[Array[Byte]])
+      .mapPartitions { it =>
+        it.map { case (id, bytes) =>
+          try {
+            val m = FakeCodec.decode(id, bytes)
+            (id, m.width, m.height, m.payload_len, m.format, null: String)
+          } catch {
+            case e: IllegalArgumentException =>
+              (id, -1, -1, -1, null: String, e.getMessage)
+          }
+        }
+      }
+      .toDF("id", "width", "height", "payload_len", "format", "error")
+  }
+
+  /** The good rows of [[extractMetaTagged]] (schema == [[extractMeta]]). */
+  def goodMeta(tagged: DataFrame): DataFrame =
+    tagged.where(col("error").isNull)
+      .select("id", "width", "height", "payload_len", "format")
+
+  /** The quarantined rows: (id, error) — written to a quarantine sink and
+    * counted into lineage so dropped mass is observable, never silent. */
+  def quarantined(tagged: DataFrame): DataFrame =
+    tagged.where(col("error").isNotNull).select("id", "error")
+
   /** Deterministic "frame sample" stand-in: every nth 16-byte slice of the
     * payload becomes one frame row (id, frame_idx, frame_bytes) — the
     * explode-shaped plumbing of video frame sampling. */

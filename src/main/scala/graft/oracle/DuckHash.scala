@@ -131,7 +131,11 @@ object DuckHash {
   }
 
   /** CTE chain `<out>` = (id, simhash UBIGINT) reproducing
-    * Hashing.simHash64 over whitespace tokens of `corpusCte`(id, content). */
+    * Hashing.simHash64 over whitespace tokens of `corpusCte`(id, content).
+    * Zero-token documents (all-whitespace content) never reach the vote
+    * CTE, so the final CTE left-joins every corpus id back with
+    * COALESCE(simhash, 0) — Hashing.simHash64 returns 0L for them
+    * (round-2 advice: an all-whitespace doc silently desynced the oracle). */
   def simhashCtes(corpusCte: String, seed: Long, out: String): String =
     s"""${out}_tok AS (
        |  SELECT id, tok
@@ -144,10 +148,13 @@ object DuckHash {
        |${out}_votes AS (
        |  SELECT id, b, sum(CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END) AS v
        |  FROM ${out}_thm, unnest(range(0, 64)) t(b) GROUP BY 1, 2),
-       |$out AS MATERIALIZED (
+       |${out}_agg AS (
        |  SELECT id,
        |    CAST(sum(CASE WHEN v > 0 THEN CAST(1 AS UBIGINT) << b ELSE CAST(0 AS UBIGINT) END) AS UBIGINT) AS simhash
-       |  FROM ${out}_votes GROUP BY id)""".stripMargin
+       |  FROM ${out}_votes GROUP BY id),
+       |$out AS MATERIALIZED (
+       |  SELECT c.id, COALESCE(a.simhash, CAST(0 AS UBIGINT)) AS simhash
+       |  FROM $corpusCte c LEFT JOIN ${out}_agg a ON a.id = c.id)""".stripMargin
 
   /** CTE chain `<out>` = (vec_id, tbl, bucket) reproducing
     * Hashing.hyperplaneBucket (+ tableSeed) over `embCte`(vec_id,

@@ -131,18 +131,25 @@ object EventStream {
     * arrival within the watermark horizon — state is one row per key and
     * is EVICTED once the watermark passes (bounded, unlike a plain
     * dropDuplicates whose state grows forever on an unbounded stream).
-    * Batch: the earliest row by `tsCol` (deterministic, unlike
-    * dropDuplicates' arbitrary survivor). The two coincide whenever
-    * arrival order matches event time — exact equality of survivors under
-    * out-of-order arrival is not promised (first-ARRIVED vs earliest). */
+    * Batch: the earliest row by `tsCol` then `tieCols` (deterministic
+    * iff `tsCol +: tieCols` is unique per key — pass e.g. `event_id`;
+    * with an empty `tieCols`, rows tied on ts get a plan-dependent
+    * survivor, unlike the sessionizers which always tie-break on
+    * event_id). The streaming/batch survivors coincide whenever arrival
+    * order matches event time — exact equality under out-of-order arrival
+    * is not promised (first-ARRIVED vs earliest). Tie columns absent from
+    * the frame are skipped, so the event_id default is safe on any
+    * schema. */
   def dedupByKey(events: DataFrame, keyCol: String,
                  tsCol: String = "ts",
-                 watermark: String = "10 minutes"): DataFrame =
+                 watermark: String = "10 minutes",
+                 tieCols: Seq[String] = Seq("event_id")): DataFrame =
     if (events.isStreaming)
       events.withWatermark(tsCol, watermark).dropDuplicatesWithinWatermark(keyCol)
     else {
       val w = org.apache.spark.sql.expressions.Window
-        .partitionBy(keyCol).orderBy(col(tsCol))
+        .partitionBy(keyCol)
+        .orderBy((tsCol +: tieCols.filter(events.columns.contains)).map(col): _*)
       events.withColumn("__rn", row_number().over(w))
         .where(col("__rn") === 1).drop("__rn")
     }

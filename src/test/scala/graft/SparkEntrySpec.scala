@@ -16,6 +16,29 @@ class SparkEntrySpec extends AnyFunSuite with SparkTestBase {
     assert(n >= 80, s"expected >=80 clusters from planted dups, got $n")
   }
 
+  test("er03 blocking drops a hot length bucket but keeps cold-bucket pairs") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // synthetic documents table: 300 same-lang docs of identical length
+    // (one bucket, over the 256 cap) + 3 docs in a far-away length bucket.
+    // erInput also plants a trimmed copy of every doc_id % 5 == 0 — keep
+    // hot ids off multiples of 5 so the hot bucket stays self-contained
+    // (trimmed copies land in the same/adjacent bucket and only add mass).
+    val hot = (0 until 300).map(i => (i * 5L + 1, "xx", "h" * 200))
+    val cold = Seq((5000L + 1, "xx", "c" * 2000), (5000L + 2, "xx", "c" * 2000),
+      (5000L + 3, "xx", "c" * 1990))
+    val dir = java.nio.file.Files.createTempDirectory("er03-hot").toString
+    (hot ++ cold).toDF("doc_id", "lang", "text")
+      .write.parquet(s"$dir/documents.parquet")
+    val pairs = SparkEntry.queries("er03_candidates")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // the 300-member bucket (44850 would-be pairs) is dropped wholesale;
+    // only the 3 cold pairs survive
+    assert(pairs == Set((5001L, 5002L), (5001L, 5003L), (5002L, 5003L)),
+      s"hot bucket must be capped: got ${pairs.size} pairs")
+    SparkEntry.clearFrameCache(spark) // drop the memoized synthetic-dir frames
+  }
+
   test("all queries run on sf0.001 and the oracle map is consistent") {
     val dir = "/root/testdata/sf0.001"
     SparkEntry.queries.foreach { case (name, fn) =>

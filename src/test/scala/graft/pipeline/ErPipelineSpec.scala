@@ -225,6 +225,34 @@ class ErPipelineSpec extends AnyFunSuite with SparkTestBase {
     assert(policy.getLong(0) >= 0L && policy.getLong(2) >= 1L)
   }
 
+  test("checkpoint tables are partition-pruned: a lang-scoped read touches only its directory") {
+    val dir = java.nio.file.Files.createTempDirectory("er-prune").toString
+    ErRunner.run(spark, dir, cfg)(Corpus.generate(spark, genCfg).toDF())
+    for (stage <- Seq("corpus", "blocks")) {
+      // candidatePairs persists the blocks frame; drop any cache entry for
+      // this path so input_file_name() reflects a real file scan, not an
+      // InMemoryRelation (which returns "")
+      spark.read.parquet(s"$dir/$stage").unpersist()
+      val all = spark.read.parquet(s"$dir/$stage")
+      val langs = all.select("lang").distinct().collect().map(_.getString(0))
+      assert(langs.length >= 2, s"$stage: need multiple langs to demonstrate pruning")
+      val one = langs.head
+      val scanned = all.where(col("lang") === one)
+        .select(input_file_name()).distinct().collect().map(_.getString(0))
+      assert(scanned.nonEmpty && scanned.forall(_.contains(s"lang=$one")),
+        s"$stage: lang-filtered read must stay inside its partition dir: $scanned")
+      val totalFiles = all.select(input_file_name()).distinct().count()
+      assert(scanned.length < totalFiles,
+        s"$stage: pruned read ($one) must touch fewer files than the full table")
+    }
+    // pairs: hash-bucketed — a single-bucket read prunes the same way
+    val pairs = spark.read.parquet(s"$dir/pairs")
+    assert(pairs.columns.contains("pair_bucket"))
+    val bucketFiles = pairs.where(col("pair_bucket") === 0)
+      .select(input_file_name()).distinct().collect().map(_.getString(0))
+    assert(bucketFiles.forall(_.contains("pair_bucket=0")))
+  }
+
   test("blockingLineage counts exactly the blocks over the salted cap") {
     import spark.implicits._
     // 70 docs sharing one boilerplate block key vs the default cap of 64:
