@@ -10,8 +10,14 @@ import org.apache.spark.sql.functions._
   *
   *   -f <file>        sequence file of `>pattern` / `<text` line pairs
   *   -n <num>         number of alignments to read (0 = all)
-  *   -l <len>         max sequence length (accepted for interop; the Spark
-  *                    engine sizes buffers dynamically)
+  *   -l <len>         max sequence length. The reference sizes each
+  *                    sequence slot at 2*len bytes ("100% error rate",
+  *                    utils/sequence_reader.h:66-71) and memcpy's lines in
+  *                    UNCHECKED (utils/sequence_reader.cu:166-179) — an
+  *                    over-length line silently overflows its slot. graft
+  *                    enforces the same 2*len capacity but fails fast with
+  *                    a clear error instead; 0/absent = unbounded (buffers
+  *                    are sized dynamically).
   *   -b <batch>       batch size -> partition size (pairs per task)
   *   -t <threads>     worker threads -> local[t] cores
   *   -p               print CIGARs ("idx: cigar", reference
@@ -58,6 +64,17 @@ object AlignerCli {
     import spark.implicits._
     var pairs = SequenceFile.read(spark, c.file)
     if (c.num > 0) pairs = pairs.where(col("pair_id") < c.num)
+    if (c.seqLen > 0) {
+      // reference capacity parity: each slot holds 2*seq_len bytes
+      val cap = 2L * c.seqLen
+      val over = pairs.where(
+        length(col("pattern")) > cap || length(col("text")) > cap)
+      val bad = over.select(min("pair_id")).head()
+      require(bad.isNullAt(0),
+        s"sequence pair ${bad.getLong(0)} exceeds --seq-len capacity " +
+          s"(2*${c.seqLen} = $cap bytes); the reference would silently " +
+          "overflow its buffer here — rerun with a larger -l or drop it")
+    }
     val band = c.band
     val n = math.max(pairs.count(), 1L)
     val parts = math.max((n / math.max(c.batch, 1)).toInt, 1)

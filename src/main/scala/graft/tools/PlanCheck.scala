@@ -11,7 +11,8 @@ object PlanCheck {
     val dir = "/root/testdata/sf0.001"
     for (q <- Seq("er01_corpus", "q01_pricing_agg", "q02_join_agg", "txt01_quality",
       "q07_ship_priority", "q08_region_revenue", "q09_brand_revenue",
-      "dd03_minhash_pairs", "ann02_lsh")) {
+      "dd03_minhash_pairs", "ann02_lsh", "dd05_embedding_neardup",
+      "er03_candidates")) {
       println(s"===== $q")
       val df = graft.SparkEntry.queries(q)(spark, dir)
       df.collect()

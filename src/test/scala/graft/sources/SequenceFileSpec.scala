@@ -102,4 +102,19 @@ class SequenceFileSpec extends AnyFunSuite with SparkTestBase {
       "--print-cigars"))
     assert(long == AlignerCli.Config(path, 10, 200, 16, 4, print = true, band = 32))
   }
+
+  test("-l/--seq-len enforces the reference's 2*len slot capacity, fail-fast") {
+    val path = writeSeqFile(Seq(("A" * 100, "A" * 99), ("C" * 401, "C" * 400)))
+    // capacity 2*200 = 400: pair 1's 401-byte pattern overflows
+    val err = intercept[IllegalArgumentException] {
+      AlignerCli.run(spark, AlignerCli.parseArgs(
+        Array("-f", path, "-l", "200"))).collect()
+    }
+    assert(err.getMessage.contains("pair 1") && err.getMessage.contains("400"))
+    // exactly at capacity passes; 0/absent means unbounded
+    assert(AlignerCli.run(spark, AlignerCli.parseArgs(
+      Array("-f", path, "-l", "201"))).count() == 2)
+    assert(AlignerCli.run(spark, AlignerCli.parseArgs(
+      Array("-f", path))).count() == 2)
+  }
 }
