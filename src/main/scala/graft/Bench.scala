@@ -14,7 +14,16 @@ import org.apache.spark.storage.StorageLevel
   * at local[cpus/4] first, then the full bench at local[cpus], and emits
   * both throughputs plus the efficiency in the same JSON line — the
   * artifact itself carries the two-leg evidence (round-2 verdict: it
-  * previously lived only in hand-recorded BASELINE.md tables).
+  * previously lived only in hand-recorded BASELINE.md tables). Because
+  * hypervisor steal on this VM drifts on the minutes timescale (identical
+  * binaries measured 0.27-0.94 operator efficiency across runs —
+  * BASELINE.md round-3 table), the scaling object ALSO carries
+  * same-session INTERLEAVED legs for both the fixed-work operator and the
+  * real scoring stage: a compute-only job's concurrency equals its
+  * partition count, so N-thread and 4N-thread legs run seconds apart in
+  * one session (A/B x3, max per level) — those are the reproducible
+  * numbers; the cross-session pair is the literal two-parallelism-level
+  * protocol run.
   *
   * Headline query timings are warm best-of-3 (SparkEntry.clearFrameCache
   * between runs, so the er family re-computes rather than re-reading its
@@ -62,10 +71,18 @@ object Bench {
   private final case class Leg(cpus: Int, nFiles: Long, nCand: Long,
                                tGen: Double, tBlock: Double, tScore: Double,
                                scoreBenchPairs: Long, pairsPerSec: Double,
-                               tFixed: Double, operatorPairsPerSec: Double)
+                               tFixed: Double, operatorPairsPerSec: Double,
+                               ilScoring: Option[(Double, Double)] = None)
 
+  /** @param interleaveWith when Some(n): additionally measure the scoring
+    *   stage at n-thread and cpus-thread concurrency INTERLEAVED (A/B x3,
+    *   max per level) inside this session — concurrency pinned by the
+    *   coalesced partition count of the cached input, floor disabled —
+    *   so the pair is immune to the minutes-scale host-steal drift that
+    *   the two-session legs inherit. */
   private def runLeg(spark: SparkSession, cpus: Int, sfDir: String,
-                     cfg: ErConfig): (Leg, DataFrame, DataFrame) = {
+                     cfg: ErConfig, withOperator: Boolean = true,
+                     interleaveWith: Option[Int] = None): (Leg, DataFrame, DataFrame) = {
     val nDocs = spark.read.parquet(s"$sfDir/documents.parquet").count()
     val genCfg = Corpus.GenConfig(
       nGroups = (nDocs * 10).toInt, partitions = cpus * 2)
@@ -94,13 +111,28 @@ object Bench {
     val nScoreBench = scoreRuns.head._1
     val tScore = scoreRuns.map(_._2).min
     val pairsPerSec = if (tScore > 0) nScoreBench / tScore else 0.0
+
+    val ilScoring = interleaveWith.map { low =>
+      // coalesce of the cached frame is narrow (no shuffle): `low` tasks
+      // each read cached partitions, so exactly `low` threads compute
+      def probe(parts: Int): Double = {
+        val (_, sec) = time(
+          Er.score(scoreBenchIn.coalesce(parts), cfg, parallelismFloor = false).count())
+        nScoreBench / sec
+      }
+      val legs = (1 to 3).map(_ => (probe(low), probe(cpus)))
+      (legs.map(_._1).max, legs.map(_._2).max)
+    }
     scoreBenchIn.unpersist()
 
-    val tFixed = (1 to 3).map(_ => time(fixedWork(spark, cfg))._2).min
-    val operatorPps = FixedParts.toLong * PoolSize * Reps / tFixed
+    val tFixed =
+      if (withOperator) (1 to 3).map(_ => time(fixedWork(spark, cfg))._2).min
+      else 0.0
+    val operatorPps =
+      if (withOperator) FixedParts.toLong * PoolSize * Reps / tFixed else 0.0
 
     (Leg(cpus, nFiles, nCand, tGen, tBlock, tScore, nScoreBench, pairsPerSec,
-      tFixed, operatorPps), corpus, pairsIn)
+      tFixed, operatorPps, ilScoring), corpus, pairsIn)
   }
 
   // fixed-work operator benchmark for the scaling-efficiency metric:
@@ -111,10 +143,26 @@ object Bench {
   private val PoolSize = 256
   private val Reps = 400 // alignments per task = PoolSize * Reps
 
-  private def fixedWork(spark: SparkSession, cfg: ErConfig): Long = {
+  /** Task-local operator probe with `parts` partitions: for a compute-only
+    * job, concurrency == partition count (each task pins one local slot),
+    * so running `parts = N` on a local[4N] session measures N-thread
+    * throughput — which makes the N-vs-4N operator legs runnable SECONDS
+    * apart in ONE session, interleaved (A/B/A/B), instead of minutes apart
+    * in two sessions. On this VM hypervisor steal drifts on the minutes
+    * timescale (BASELINE.md round-3 table: identical binaries measured
+    * operator efficiency 0.27-0.94 across runs), so interleaving is what
+    * makes the artifact's efficiency number reproducible. Per-task work is
+    * identical at both levels; throughput = parts*PoolSize*Reps / time. */
+  private def operatorProbe(spark: SparkSession, cfg: ErConfig, parts: Int): Double = {
+    val (_, sec) = time(fixedWork(spark, cfg, parts))
+    parts.toLong * PoolSize * Reps / sec
+  }
+
+  private def fixedWork(spark: SparkSession, cfg: ErConfig,
+                        parts: Int = FixedParts): Long = {
     import spark.implicits._
     val band = cfg.band
-    spark.range(0, FixedParts, 1, FixedParts).mapPartitions { it =>
+    spark.range(0, parts, 1, parts).mapPartitions { it =>
       it.map { seed =>
         val rnd = new scala.util.Random(seed)
         val ws = new graft.core.WfaWorkspace(band, withCigar = false)
@@ -156,15 +204,18 @@ object Bench {
       if (lowCpus >= cpus) None
       else {
         val s = buildSession(lowCpus)
-        val (leg, corpus, pairsIn) = runLeg(s, lowCpus, sfDir, cfg)
+        // the operator probe's scaling legs run interleaved in the HIGH
+        // session (see operatorProbe) — skip them here
+        val (leg, corpus, pairsIn) = runLeg(s, lowCpus, sfDir, cfg, withOperator = false)
         pairsIn.unpersist(); corpus.unpersist()
         s.stop()
         Some(leg)
       }
 
-    // ---- full bench at 4N = cpus
+    // ---- full bench at 4N = cpus, with interleaved same-session scaling
     val spark = buildSession(cpus)
-    val (leg, corpus, pairsIn) = runLeg(spark, cpus, sfDir, cfg)
+    val (leg, corpus, pairsIn) = runLeg(spark, cpus, sfDir, cfg,
+      interleaveWith = if (lowCpus < cpus) Some(lowCpus) else None)
 
     val scored = Er.score(pairsIn, cfg).persist(StorageLevel.MEMORY_AND_DISK)
     val nScored = scored.count()
@@ -191,19 +242,34 @@ object Bench {
     val total = stages.map(_._2).sum
     val qs = stages.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
-    // scaling efficiency: throughput ratio / parallelism ratio, on both the
-    // pipeline scoring stage and the fixed-work operator. local[N] legs
-    // share one memory bus, so this UNDERSTATES executor scaling — see
-    // BASELINE.md's register-only and raw-JVM-thread controls.
+    // scaling efficiency: throughput ratio / parallelism ratio.
+    //  - pipeline scoring: measured across the two sessions (minutes
+    //    apart — subject to host-steal drift, documented in BASELINE.md);
+    //  - operator: measured INTERLEAVED in this session (A/B x3, max per
+    //    level, seconds apart) — robust to the drift that made identical
+    //    binaries read 0.27-0.94 across runs.
+    // local[N] legs share one memory bus, so both UNDERSTATE executor
+    // scaling — see BASELINE.md's register-only and raw-JVM-thread controls.
     val scaling = lowLeg.map { lo =>
       val ratio = cpus.toDouble / lo.cpus
       val eff = (leg.pairsPerSec / lo.pairsPerSec) / ratio
-      val opEff = (leg.operatorPairsPerSec / lo.operatorPairsPerSec) / ratio
+      val opLegs = (1 to 3).map { _ =>
+        (operatorProbe(spark, cfg, lo.cpus), operatorProbe(spark, cfg, cpus))
+      }
+      val opLow = opLegs.map(_._1).max
+      val opHigh = opLegs.map(_._2).max
+      val opEff = (opHigh / opLow) / ratio
+      val il = leg.ilScoring.map { case (ilLow, ilHigh) =>
+        f""""samesession_cpus${lo.cpus}":${ilLow.round},""" +
+          f""""samesession_cpus$cpus":${ilHigh.round},""" +
+          f""""samesession_efficiency":${(ilHigh / ilLow) / ratio}%.3f,"""
+      }.getOrElse("")
       s""""scaling":{"cpus${lo.cpus}":${lo.pairsPerSec.round},""" +
         s""""cpus$cpus":${leg.pairsPerSec.round},""" +
         f""""efficiency":$eff%.3f,""" +
-        s""""operator_cpus${lo.cpus}":${lo.operatorPairsPerSec.round},""" +
-        s""""operator_cpus$cpus":${leg.operatorPairsPerSec.round},""" +
+        il +
+        s""""operator_cpus${lo.cpus}":${opLow.round},""" +
+        s""""operator_cpus$cpus":${opHigh.round},""" +
         f""""operator_efficiency":$opEff%.3f},"""
     }.getOrElse("")
     println(

@@ -174,7 +174,13 @@ object Er {
     * sequential banded WFA per pair. Emits per-pair lineage inputs
     * (cells expanded, partition id) alongside the score.
     */
-  def score(pairsWithContents: DataFrame, cfg: ErConfig): DataFrame = {
+  /** @param parallelismFloor disable ONLY for controlled-concurrency
+    *   probes (Bench's interleaved scaling legs pin concurrency via the
+    *   input's partition count — a compute-only stage over an
+    *   N-partition cached frame runs exactly N concurrent tasks); every
+    *   production caller keeps the floor. */
+  def score(pairsWithContents: DataFrame, cfg: ErConfig,
+            parallelismFloor: Boolean = true): DataFrame = {
     val spark = pairsWithContents.sparkSession
     import spark.implicits._
     val band = cfg.band
@@ -186,7 +192,7 @@ object Er {
     // already repartitioned to 2x cores)
     val target = spark.sparkContext.defaultParallelism * 2
     val input =
-      if (pairsWithContents.rdd.getNumPartitions < target)
+      if (parallelismFloor && pairsWithContents.rdd.getNumPartitions < target)
         pairsWithContents.repartition(target)
       else pairsWithContents
     input

@@ -178,6 +178,17 @@ class ErPipelineSpec extends AnyFunSuite with SparkTestBase {
     assert(got == expected, s"missing=${expected diff got} extra=${got diff expected}")
   }
 
+  test("score with parallelismFloor off returns the same scores on the same partitions") {
+    val pairs = Er.candidatePairs(Er.blocks(corpus, cfg), cfg)
+    val in = Er.withContents(pairs, corpus).repartition(2)
+    val floored = Er.score(in, cfg).drop("part_id", "cells")
+    val pinned = Er.score(in, cfg, parallelismFloor = false).drop("part_id", "cells")
+    // the bench's interleaved legs rely on: (a) identical results, (b) the
+    // pinned path not widening the 2-partition input
+    assert(Er.score(in, cfg, parallelismFloor = false).rdd.getNumPartitions == 2)
+    assert(pinned.exceptAll(floored).isEmpty && floored.exceptAll(pinned).isEmpty)
+  }
+
   test("incremental scoring: anti-join resume matches a full scoring run") {
     val blocks = Er.blocks(corpus, cfg)
     val pairs = Er.candidatePairs(blocks, cfg).cache()
