@@ -60,6 +60,7 @@ object Bench {
       // defaults produced heartbeat TimeoutExceptions in the round-1 tail
       .config("spark.executor.heartbeatInterval", "60s")
       .config("spark.network.timeout", "600s")
+      .config("spark.sql.extensions", "graft.expr.GraftExtensions")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     spark

@@ -2,7 +2,7 @@ package graft
 
 import graft.core.{Wfa, WfaWorkspace}
 import graft.oracle.DuckHash
-import graft.ops.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.ops.{AsOf, Dedup, KMeans, Multimodal, Sampling, Similarity, TextAnalysis}
 import graft.pipeline.{Corpus, Er, ErConfig}
 import org.apache.spark.TaskContext
 import org.apache.spark.sql.{DataFrame, SparkSession}
@@ -402,6 +402,33 @@ object SparkEntry {
         .orderBy("p_brand")
     }),
 
+    "q11_asof_join" -> ((s, dir) => {
+      // as-of join (no Spark built-in): each purchase picks the user's
+      // most recent view at-or-before it; exact integer-microsecond lag.
+      // One shuffle+sort via ops.AsOf's union+running-last composition.
+      val ev = table(s, dir, "events")
+      val purchases = ev.where(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val views = ev.where(col("event_type") === "view")
+        .select(col("user_id"), col("ts"), col("event_id"))
+      AsOf.asofJoin(purchases, views, Seq("user_id"), "ts", "event_id")
+        .select(col("event_id"), col("user_id"), col("matched_event_id"),
+          (unix_micros(col("ts").cast("timestamp")) -
+            unix_micros(col("matched_ts").cast("timestamp"))).as("lag_us"))
+        .orderBy("event_id")
+    }),
+
+    "samp01_stratified" -> ((s, dir) => {
+      // deterministic stratified mixing sample: hash-gated per-1024 rates
+      // (en downsampled, zh upsampled), stable under any partitioning.
+      // Oracle reproduces the splitmix64 gate via DuckHash.splitmixCols.
+      Sampling.stratified(
+        table(s, dir, "documents").select(col("doc_id"), col("lang")),
+        "doc_id", "lang", Map("en" -> 256, "zh" -> 768),
+        defaultPer1024 = 512)
+        .orderBy("doc_id")
+    }),
+
     "q10_json_props" -> ((s, dir) => {
       // JSON scalar functions over the events.props column (codegen'd
       // get_json_object; no UDF)
@@ -526,6 +553,17 @@ object SparkEntry {
         .orderBy("id_a", "id_b")
     }),
 
+    "ann04_kmeans" -> ((s, dir) => {
+      // quantized Lloyd k-means (k=8, 2 iterations): exact BIGINT
+      // arithmetic end-to-end, so assignment AND distance are value-level
+      // oracle-checkable (float k-means is summation-order-dependent and
+      // never could be). The trained-centroid path for ivfTopK.
+      val q = KMeans.quantize(
+        table(s, dir, "embeddings").select("vec_id", "embedding"))
+      KMeans.assign(q, KMeans.train(q, k = 8, iters = 2))
+        .orderBy("vec_id")
+    }),
+
     "ann03_ivf_topk" -> ((s, dir) => {
       // IVF-flat: deterministic coarse cells (lowest-16 ids), nProbe=2;
       // the oracle mirrors the same quantization, so parity is value-level
@@ -594,7 +632,77 @@ object SparkEntry {
        |  FROM cand JOIN sigs sa ON sa.id = cand.id_a
        |            JOIN sigs sb ON sb.id = cand.id_b)""".stripMargin
 
+  /** One Lloyd iteration as DuckDB CTEs (the twin of KMeans.assign +
+    * the update step inside KMeans.train): argmin assignment from `prev`
+    * centroids (ties to lowest cell), floor-division integer mean, empty
+    * cells keeping their previous centroid. All arithmetic BIGINT-exact —
+    * see KMeans' scaladoc for why quantized k-means is the only
+    * oracle-able k-means. */
+  private def kmeansIterCtes(prev: String, idx: Int): String =
+    s"""km_a$idx AS (
+       |  SELECT vec_id, cell, dist2 FROM (
+       |    SELECT vec_id, cell, dist2,
+       |      row_number() OVER (PARTITION BY vec_id ORDER BY dist2, cell) AS rk
+       |    FROM (SELECT q.vec_id, c.cell,
+       |            list_sum(list_transform(range(1, 65),
+       |              i -> (q.qv[i] - c.cv[i]) * (q.qv[i] - c.cv[i]))) AS dist2
+       |          FROM km_q q, $prev c)) WHERE rk = 1),
+       |km_s$idx AS (
+       |  SELECT a.cell, i, CAST(sum(q.qv[i]) // count(*) AS BIGINT) AS m
+       |  FROM km_a$idx a JOIN km_q q USING (vec_id), unnest(range(1, 65)) t(i)
+       |  GROUP BY 1, 2),
+       |km_c$idx AS (
+       |  SELECT c.cell, CASE WHEN u.cv IS NULL THEN c.cv ELSE u.cv END AS cv
+       |  FROM $prev c LEFT JOIN
+       |    (SELECT cell, list(m ORDER BY i) AS cv FROM km_s$idx GROUP BY 1) u
+       |    USING (cell))""".stripMargin
+
   def oracleSql: Map[String, String] = Map(
+    "q11_asof_join" ->
+      // the independent declarative spec of the as-of join (lateral
+      // closest-prior lookup); graft computes it with one window pass
+      """SELECT l.event_id, l.user_id, r.event_id AS matched_event_id,
+        |  epoch_us(l.ts) - epoch_us(r.ts) AS lag_us
+        |FROM events l
+        |LEFT JOIN LATERAL (
+        |  SELECT event_id, ts FROM events r
+        |  WHERE r.event_type = 'view' AND r.user_id = l.user_id
+        |    AND r.ts <= l.ts
+        |  ORDER BY r.ts DESC, r.event_id DESC LIMIT 1) r ON true
+        |WHERE l.event_type = 'purchase'
+        |ORDER BY l.event_id""".stripMargin,
+    "samp01_stratified" ->
+      s"""WITH g AS (
+         |  SELECT doc_id, lang,
+         |    ${DuckHash.splitmixCols(
+               "xor(CAST(doc_id AS UBIGINT), CAST(42 AS UBIGINT))", "sm")} AS h
+         |  FROM documents)
+         |SELECT doc_id, lang FROM g
+         |WHERE (h & 1023) <
+         |  CASE lang WHEN 'en' THEN 256 WHEN 'zh' THEN 768 ELSE 512 END
+         |ORDER BY doc_id""".stripMargin,
+    "ann04_kmeans" ->
+      s"""WITH km_q AS (
+         |  SELECT vec_id,
+         |    list_transform(CAST(embedding AS DOUBLE[]),
+         |      x -> CAST(floor(x * 1000) AS BIGINT) + 2000) AS qv
+         |  FROM embeddings),
+         |km_c0 AS (
+         |  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS cell,
+         |         qv AS cv
+         |  FROM (SELECT vec_id, qv FROM km_q ORDER BY vec_id LIMIT 8)),
+         |${kmeansIterCtes("km_c0", 1)},
+         |${kmeansIterCtes("km_c1", 2)},
+         |km_final AS (
+         |  SELECT vec_id, cell, dist2 FROM (
+         |    SELECT vec_id, cell, dist2,
+         |      row_number() OVER (PARTITION BY vec_id ORDER BY dist2, cell) AS rk
+         |    FROM (SELECT q.vec_id, c.cell,
+         |            list_sum(list_transform(range(1, 65),
+         |              i -> (q.qv[i] - c.cv[i]) * (q.qv[i] - c.cv[i]))) AS dist2
+         |          FROM km_q q, km_c2 c)) WHERE rk = 1)
+         |SELECT vec_id, cell, CAST(dist2 AS BIGINT) AS dist2 FROM km_final
+         |ORDER BY vec_id""".stripMargin,
     "q01_pricing_agg" ->
       """SELECT l_returnflag, l_linestatus,
         |  CAST(sum(CAST(floor(l_quantity * 100) AS BIGINT)) AS BIGINT) AS sum_qty_centi,

@@ -5,9 +5,9 @@ import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, TernaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, TernaryExpression, UnaryExpression}
 import org.apache.spark.sql.functions.call_function
-import org.apache.spark.sql.types.{DataType, IntegerType, StringType}
+import org.apache.spark.sql.types.{DataType, IntegerType, LongType, StringType}
 import org.apache.spark.sql.SparkSessionExtensions
 
 /** Runtime entry points for codegen'd WFA expressions. A per-thread
@@ -109,6 +109,32 @@ case class WfaCigar(first: Expression, second: Expression, third: Expression)
       f: Expression, s: Expression, t: Expression): Expression = copy(f, s, t)
 }
 
+/** `splitmix64(x)`: the engine's canonical 64-bit mixer
+  * ([[graft.core.Hashing.splitmix64]], Steele et al. OOPSLA'14) as a
+  * codegen'd native expression. Exists because Spark 4 runs ANSI mode by
+  * default, where built-in `long` multiplication THROWS on overflow —
+  * wrapping mixers cannot be composed from built-ins. A native expression
+  * generates a plain static Java call (Java semantics wrap), stays inside
+  * whole-stage codegen, and is reproduced bit-for-bit in DuckDB oracle SQL
+  * by [[graft.oracle.DuckHash.splitmixCols]]. */
+case class Splitmix64(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "splitmix64"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == LongType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires bigint, got ${child.dataType.simpleString}")
+
+  override protected def nullSafeEval(x: Any): Any =
+    graft.core.Hashing.splitmix64(x.asInstanceOf[Long])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, x => s"graft.core.Hashing.splitmix64($x)")
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(c)
+}
+
 /** Column-API surface. Requires the session to carry [[GraftExtensions]]
   * (resolved through the function registry at analysis time, keeping this
   * file on public Spark API only). */
@@ -118,6 +144,8 @@ object functions {
 
   def wfa_cigar(pattern: Column, text: Column, band: Column): Column =
     call_function("wfa_cigar", pattern, text, band)
+
+  def splitmix64(x: Column): Column = call_function("splitmix64", x)
 }
 
 /** SparkSessionExtensions hook: registers wfa_distance / wfa_cigar for SQL
@@ -134,5 +162,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("wfa_cigar"),
       new ExpressionInfo("graft.expr.WfaCigar", "wfa_cigar"),
       (children: Seq[Expression]) => WfaCigar(children(0), children(1), children(2))))
+    e.injectFunction((
+      new FunctionIdentifier("splitmix64"),
+      new ExpressionInfo("graft.expr.Splitmix64", "splitmix64"),
+      (children: Seq[Expression]) => Splitmix64(children.head)))
   }
 }

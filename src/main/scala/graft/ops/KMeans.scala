@@ -1,0 +1,98 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Distributed Lloyd k-means over INTEGER-QUANTIZED embeddings — the
+  * trained-centroid path for [[Similarity.ivfTopK]]'s coarse quantizer
+  * (whose doc promises a k-means swap-in; this is it).
+  *
+  * Why quantized: float k-means is order-of-summation dependent, so its
+  * results shift with partitioning and can never have a value-level
+  * oracle. Quantizing each coordinate to `floor(x * scale) + shift`
+  * (shift chosen so every value is non-negative) makes every step exact
+  * BIGINT arithmetic: squared-L2 distances are integer sums, the centroid
+  * update is an elementwise floor-division mean (truncating division ==
+  * floor for non-negative operands, identical in Spark's `div` and
+  * DuckDB's `//`), argmin ties break to the lowest cell id, and empty
+  * cells keep their previous centroid. The whole training run is
+  * bit-reproducible on any cluster size — and DuckDB-oracle-checkable.
+  *
+  * Scale shape (the MLlib KMeans pattern): centroids are tiny and
+  * broadcast; assignment is a map-side broadcast cross join reduced by a
+  * map-side-combinable `groupBy(vec_id).min(struct)` argmin (no window
+  * over the corpus); the update aggregates (cell, dim) partial sums
+  * map-side and collects only k x dim rows per iteration to the driver
+  * (k=8, dim=64 -> 512 rows), exactly like MLlib's per-iteration
+  * centroid reduce. */
+object KMeans {
+
+  /** Quantize `embeddings`(vec_id, embedding: array<float|double>) to
+    * (vec_id, qv: array<bigint>) with all-non-negative coordinates.
+    * `shift` must exceed `-scale * min(x)`; the default covers |x| < 2. */
+  def quantize(embeddings: DataFrame, scale: Int = 1000, shift: Int = 2000): DataFrame =
+    embeddings.select(col("vec_id"),
+      transform(col("embedding"),
+        x => floor(x.cast("double") * scale).cast("long") + shift).as("qv"))
+
+  /** Integer squared-L2 distance between two bigint-array columns. */
+  private def dist2(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+    aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)), lit(0L), (acc, v) => acc + v)
+
+  /** Assign every vector to its nearest centroid.
+    * @param quantized (vec_id, qv) from [[quantize]]
+    * @param centroids (cell: bigint, cv: array<bigint>)
+    * @return (vec_id, cell, dist2) */
+  def assign(quantized: DataFrame, centroids: DataFrame): DataFrame =
+    quantized.crossJoin(broadcast(centroids))
+      .select(col("vec_id"), dist2(col("qv"), col("cv")).as("d2"), col("cell"))
+      .groupBy("vec_id")
+      .agg(min(struct(col("d2"), col("cell"))).as("best"))
+      .select(col("vec_id"), col("best.cell").as("cell"), col("best.d2").as("dist2"))
+
+  /** Train `k` centroids with `iters` Lloyd iterations. Init = the `k`
+    * lowest-vec_id vectors (deterministic, the same convention as
+    * [[Similarity.ivfTopK]]'s training-free cells; k-means|| seeding
+    * would slot in here without touching the iteration).
+    * @return (cell: bigint, cv: array<bigint>) */
+  def train(quantized: DataFrame, k: Int, iters: Int): DataFrame = {
+    val spark = quantized.sparkSession
+    import spark.implicits._
+    var cents: Array[(Long, Array[Long])] =
+      quantized.orderBy("vec_id").limit(k).select("qv").as[Array[Long]]
+        .collect().zipWithIndex.map { case (v, i) => (i.toLong, v) }
+    require(cents.length == k, s"corpus has ${cents.length} < k=$k vectors")
+    for (_ <- 1 to iters) {
+      val sums = assign(quantized, centroidFrame(spark, cents))
+        .join(quantized, "vec_id")
+        .select(col("cell"), posexplode(col("qv")).as(Seq("pos", "v")))
+        .groupBy("cell", "pos")
+        // floor-division mean: all coords non-negative, so truncation ==
+        // floor; `div` is Spark's integral division (no ANSI float detour)
+        .agg(expr("sum(v) div count(*)").as("m"))
+        .select(col("cell").as[Long], col("pos").as[Int], col("m").as[Long])
+        .collect()
+      val updated = sums.groupBy(_._1).map { case (cell, rs) =>
+        cell -> rs.sortBy(_._2).map(_._3) }
+      cents = cents.map { case (cell, old) => (cell, updated.getOrElse(cell, old)) }
+    }
+    centroidFrame(spark, cents)
+  }
+
+  private def centroidFrame(spark: SparkSession,
+                            cents: Array[(Long, Array[Long])]): DataFrame = {
+    import spark.implicits._
+    cents.toSeq.toDF("cell", "cv")
+  }
+
+  /** Deterministic initial centroids as a DataFrame (for callers that
+    * want the untrained init, e.g. oracle mirrors): the `k` lowest-vec_id
+    * quantized vectors, cells numbered 0..k-1 in vec_id order. */
+  def initCentroids(quantized: DataFrame, k: Int): DataFrame = {
+    val w = Window.orderBy("vec_id")
+    quantized.orderBy("vec_id").limit(k)
+      .withColumn("cell", (row_number().over(w) - 1).cast("long"))
+      .select(col("cell"), col("qv").as("cv"))
+  }
+}

@@ -17,6 +17,7 @@ object SparkTestBase {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      .config("spark.sql.extensions", "graft.expr.GraftExtensions")
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     s

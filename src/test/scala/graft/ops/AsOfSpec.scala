@@ -1,0 +1,70 @@
+package graft.ops
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** As-of join: brute-force oracle parity (randomized), tie semantics,
+  * whole-row atomicity, and the no-join plan shape. */
+class AsOfSpec extends AnyFunSuite with SparkTestBase {
+
+  import spark.implicits._
+
+  test("asof join matches a brute-force closest-prior lookup (randomized)") {
+    val rnd = new scala.util.Random(7)
+    val left = Seq.tabulate(120)(i => (i.toLong, rnd.nextInt(6).toLong, rnd.nextInt(40).toLong))
+    val right = Seq.tabulate(150)(i => (1000L + i, rnd.nextInt(6).toLong, rnd.nextInt(40).toLong))
+    val l = left.toDF("event_id", "k", "ts")
+    val r = right.toDF("event_id", "k", "ts")
+      .select(col("k"), col("ts"), col("event_id"))
+    val got = AsOf.asofJoin(l, r, Seq("k"), "ts", "event_id")
+      .select("event_id", "matched_event_id")
+      .collect()
+      .map(row => row.getLong(0) -> (if (row.isNullAt(1)) None else Some(row.getLong(1))))
+      .toMap
+    val expected = left.map { case (id, k, ts) =>
+      val cands = right.filter { case (_, rk, rts) => rk == k && rts <= ts }
+      id -> (if (cands.isEmpty) None
+             else Some(cands.maxBy { case (rid, _, rts) => (rts, rid) }._1))
+    }.toMap
+    assert(got == expected)
+  }
+
+  test("tie semantics: right row at the left ts is visible; greatest tie wins") {
+    val l = Seq((1L, 10L, 100L)).toDF("id", "k", "ts")
+    val r = Seq((50L, 10L, 100L), (51L, 10L, 100L), (40L, 10L, 99L))
+      .toDF("event_id", "k", "ts").select(col("k"), col("ts"), col("event_id"))
+    val row = AsOf.asofJoin(l, r, Seq("k"), "ts", "event_id").head()
+    assert(row.getAs[Long]("matched_event_id") == 51L)
+  }
+
+  test("no eligible right row yields nulls, not dropped rows") {
+    val l = Seq((1L, 10L, 5L), (2L, 99L, 50L)).toDF("id", "k", "ts")
+    val r = Seq((7L, 10L, 6L)).toDF("event_id", "k", "ts")
+      .select(col("k"), col("ts"), col("event_id"))
+    val rows = AsOf.asofJoin(l, r, Seq("k"), "ts", "event_id")
+      .orderBy("id").collect()
+    assert(rows.length == 2 && rows.forall(_.isNullAt(rows.head.fieldIndex("matched_event_id"))))
+  }
+
+  test("whole-row atomicity: a null payload field never mixes with an older row") {
+    // newest right row has v=null; per-column last(ignoreNulls) would
+    // stitch (newest id, OLDER v) — the struct fill must return (20, null)
+    val l = Seq((1L, 1L, 100L)).toDF("id", "k", "ts")
+    val r = Seq((10L, 1L, 50L, Some(777L)), (20L, 1L, 60L, None))
+      .toDF("event_id", "k", "ts", "v").select(col("k"), col("ts"), col("event_id"), col("v"))
+    val row = AsOf.asofJoin(l, r, Seq("k"), "ts", "event_id").head()
+    assert(row.getAs[Long]("matched_event_id") == 20L)
+    assert(row.isNullAt(row.fieldIndex("matched_v")))
+  }
+
+  test("plan is window-based: no join operator, one exchange") {
+    val l = Seq((1L, 1L, 5L)).toDF("id", "k", "ts")
+    val r = Seq((7L, 1L, 4L)).toDF("event_id", "k", "ts")
+      .select(col("k"), col("ts"), col("event_id"))
+    val plan = AsOf.asofJoin(l, r, Seq("k"), "ts", "event_id")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Join"), plan)
+    assert(plan.split("Exchange").length - 1 == 1, plan)
+  }
+}

@@ -1,0 +1,71 @@
+package graft.ops
+
+import graft.SparkTestBase
+import graft.core.Hashing
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Hash-gated stratified sampling: exact gate parity with
+  * core.Hashing, partitioning-stability (the property df.sample lacks),
+  * rate edge cases, and the codegen plan shape. */
+class SamplingSpec extends AnyFunSuite with SparkTestBase {
+
+  import spark.implicits._
+
+  private val rows = Seq.tabulate(2000)(i =>
+    (i.toLong, if (i % 3 == 0) "en" else if (i % 3 == 1) "zh" else "de"))
+  private val df = rows.toDF("doc_id", "lang")
+
+  private def expectedIds(rates: Map[String, Int], default: Int, seed: Long) =
+    rows.filter { case (id, lang) =>
+      (Hashing.splitmix64(id ^ seed) & 1023L) < rates.getOrElse(lang, default)
+    }.map(_._1).toSet
+
+  test("survivors are exactly the splitmix64-gated set") {
+    val rates = Map("en" -> 256, "zh" -> 768)
+    val got = Sampling.stratified(df, "doc_id", "lang", rates, 512)
+      .select("doc_id").as[Long].collect().toSet
+    assert(got == expectedIds(rates, 512, 42L))
+    assert(got.nonEmpty && got.size < rows.size)
+  }
+
+  test("survivor set is invariant under repartitioning (unlike df.sample)") {
+    val rates = Map("en" -> 300)
+    val a = Sampling.stratified(df.repartition(1), "doc_id", "lang", rates, 512)
+      .select("doc_id").as[Long].collect().toSet
+    val b = Sampling.stratified(df.repartition(13), "doc_id", "lang", rates, 512)
+      .select("doc_id").as[Long].collect().toSet
+    assert(a == b)
+  }
+
+  test("rate 0 drops a stratum entirely; rate 1024 keeps it entirely") {
+    val got = Sampling.stratified(df, "doc_id", "lang",
+      Map("en" -> 0, "zh" -> 1024), 0).select("doc_id", "lang").collect()
+    assert(got.forall(_.getString(1) == "zh"))
+    assert(got.length == rows.count(_._2 == "zh"))
+  }
+
+  test("observed rates track the per-1024 targets") {
+    val rates = Map("en" -> 256, "zh" -> 768)
+    val byLang = Sampling.stratified(df, "doc_id", "lang", rates, 512)
+      .groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val totals = rows.groupBy(_._2).view.mapValues(_.size).toMap
+    for ((lang, kept) <- byLang) {
+      val target = rates.getOrElse(lang, 512) / 1024.0
+      val observed = kept.toDouble / totals(lang)
+      assert(math.abs(observed - target) < 0.08, s"$lang: $observed vs $target")
+    }
+  }
+
+  test("the gate stays inside whole-stage codegen (native expression, no UDF)") {
+    // a Range-backed frame: a local Seq collapses to LocalTableScan via
+    // ConvertToLocalRelation, hiding the codegen span under test
+    val ranged = spark.range(2000).select(col("id").as("doc_id"),
+      when(col("id") % 3 === 0, "en").otherwise("de").as("lang"))
+    val plan = Sampling.stratified(ranged, "doc_id", "lang", Map("en" -> 256), 512)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("BatchEvalPython") && !plan.contains("Invoke"), plan)
+    assert(plan.trim.startsWith("*("), plan)
+  }
+}
