@@ -2,7 +2,7 @@ package graft
 
 import graft.core.{Wfa, WfaWorkspace}
 import graft.oracle.DuckHash
-import graft.ops.{AsOf, Dedup, KMeans, Multimodal, Sampling, Similarity, TextAnalysis}
+import graft.ops.{AsOf, Dedup, KMeans, Multimodal, RangeJoin, Sampling, Similarity, TextAnalysis}
 import graft.pipeline.{Corpus, Er, ErConfig}
 import org.apache.spark.TaskContext
 import org.apache.spark.sql.{DataFrame, SparkSession}
@@ -418,6 +418,16 @@ object SparkEntry {
         .orderBy("event_id")
     }),
 
+    "q12_interval_join" -> ((s, dir) => {
+      // interval self-join (no Spark built-in): same-user event pairs
+      // within 30 minutes, via time-cell bucketing + equi-join — never
+      // the per-key cartesian the naive theta join degenerates to.
+      RangeJoin.withinInterval(table(s, dir, "events"), Seq("user_id"),
+          "ts", "event_id", widthUs = 1800L * 1000000L)
+        .select(col("user_id"), col("id_a"), col("id_b"), col("gap_us"))
+        .orderBy("id_a", "id_b")
+    }),
+
     "samp01_stratified" -> ((s, dir) => {
       // deterministic stratified mixing sample: hash-gated per-1024 rates
       // (en downsampled, zh upsampled), stable under any partitioning.
@@ -671,6 +681,15 @@ object SparkEntry {
         |  ORDER BY r.ts DESC, r.event_id DESC LIMIT 1) r ON true
         |WHERE l.event_type = 'purchase'
         |ORDER BY l.event_id""".stripMargin,
+    "q12_interval_join" ->
+      // independent declarative spec (the band literal is pre-multiplied:
+      // DuckDB folds 1800 * 1000000 in INT32 and overflows)
+      """SELECT a.user_id, a.event_id AS id_a, b.event_id AS id_b,
+        |  epoch_us(b.ts) - epoch_us(a.ts) AS gap_us
+        |FROM events a JOIN events b
+        |  ON a.user_id = b.user_id AND a.event_id < b.event_id
+        | AND abs(epoch_us(a.ts) - epoch_us(b.ts)) <= 1800000000
+        |ORDER BY id_a, id_b""".stripMargin,
     "samp01_stratified" ->
       s"""WITH g AS (
          |  SELECT doc_id, lang,
