@@ -418,6 +418,29 @@ object SparkEntry {
         .orderBy("event_id")
     }),
 
+    "q13_rollup" -> ((s, dir) => {
+      // hierarchical super-aggregates via the rollup operator (Catalyst
+      // Expand); Spark's default asc = nulls-first, mirrored explicitly
+      // in the oracle (DuckDB defaults to NULLS LAST)
+      table(s, dir, "lineitem")
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(count(lit(1)).as("n_rows"),
+          sum(floor(col("l_quantity") * 100).cast("long")).as("sum_qty_centi"))
+        .orderBy(asc_nulls_first("l_returnflag"), asc_nulls_first("l_linestatus"))
+    }),
+    "q14_pivot" -> ((s, dir) => {
+      // pivot (long -> wide) with an explicit column list so the output
+      // schema is static (no extra distinct job, stable at any sf);
+      // absent combinations normalize to 0
+      val types = Seq("click", "error", "purchase", "signup", "view")
+      val wide = table(s, dir, "events")
+        .groupBy("user_id")
+        .pivot("event_type", types)
+        .agg(count(lit(1)))
+      wide.select(col("user_id") +:
+          types.map(t => coalesce(col(t), lit(0L)).as(s"n_$t")): _*)
+        .orderBy("user_id")
+    }),
     "q12_interval_join" -> ((s, dir) => {
       // interval self-join (no Spark built-in): same-user event pairs
       // within 30 minutes, via time-cell bucketing + equi-join — never
@@ -681,6 +704,19 @@ object SparkEntry {
         |  ORDER BY r.ts DESC, r.event_id DESC LIMIT 1) r ON true
         |WHERE l.event_type = 'purchase'
         |ORDER BY l.event_id""".stripMargin,
+    "q13_rollup" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS n_rows,
+        |  CAST(sum(CAST(floor(l_quantity * 100) AS BIGINT)) AS BIGINT) AS sum_qty_centi
+        |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+        |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
+    "q14_pivot" ->
+      """SELECT user_id,
+        |  CAST(count(*) FILTER (event_type = 'click') AS BIGINT) AS n_click,
+        |  CAST(count(*) FILTER (event_type = 'error') AS BIGINT) AS n_error,
+        |  CAST(count(*) FILTER (event_type = 'purchase') AS BIGINT) AS n_purchase,
+        |  CAST(count(*) FILTER (event_type = 'signup') AS BIGINT) AS n_signup,
+        |  CAST(count(*) FILTER (event_type = 'view') AS BIGINT) AS n_view
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
     "q12_interval_join" ->
       // independent declarative spec (the band literal is pre-multiplied:
       // DuckDB folds 1800 * 1000000 in INT32 and overflows)
