@@ -166,5 +166,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("splitmix64"),
       new ExpressionInfo("graft.expr.Splitmix64", "splitmix64"),
       (children: Seq[Expression]) => Splitmix64(children.head)))
+    // wfa_distance(p,t,band) <= tau  ==>  prepend the implied cheap
+    // length-gap predicate (short-circuits the expensive WFA call)
+    e.injectOptimizerRule(_ => WfaLengthPrefilter)
   }
 }
