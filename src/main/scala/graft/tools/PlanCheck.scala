@@ -6,20 +6,24 @@ object PlanCheck {
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder().master("local[4]")
       .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.sql.extensions", "graft.expr.GraftExtensions")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val dir = "/root/testdata/sf0.001"
     for (q <- Seq("er01_corpus", "q01_pricing_agg", "q02_join_agg", "txt01_quality",
       "q07_ship_priority", "q08_region_revenue", "q09_brand_revenue",
       "dd03_minhash_pairs", "ann02_lsh", "dd05_embedding_neardup",
-      "er03_candidates")) {
+      "er03_candidates",
+      "q11_asof_join", "q12_interval_join", "q13_rollup", "q14_pivot",
+      "samp01_stratified", "ann04_kmeans")) {
       println(s"===== $q")
       val df = graft.SparkEntry.queries(q)(spark, dir)
       df.collect()
       println(df.queryExecution.executedPlan.toString.linesIterator
         .filter(l => l.contains("Scan") || l.contains("Broadcast") ||
           l.contains("ReadSchema") || l.contains("PushedFilters") ||
-          l.contains("Exchange")).mkString("\n"))
+          l.contains("Exchange") || l.contains("Join") ||
+          l.contains("Window") || l.contains("Expand")).mkString("\n"))
     }
     spark.stop()
   }
