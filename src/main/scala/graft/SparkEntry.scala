@@ -30,32 +30,45 @@ object SparkEntry {
   // across GC'd sessions and hand back a frame bound to a stopped one);
   // frames are MEMORY_AND_DISK. Entries are evicted when their session's
   // application ends (a stopped session must not stay strongly pinned in a
-  // long-lived JVM), and insertion runs under one lock so concurrent first
-  // access cannot double-persist an orphaned frame.
+  // long-lived JVM). Builds run under a PER-KEY lock: one lock still
+  // prevents a concurrent first access from double-persisting an orphaned
+  // frame, but a build executes real Spark jobs (erBand aggregation,
+  // AQE planning) — a single global monitor would serialize unrelated
+  // keys, and even unrelated sessions, behind them (round-3 review
+  // finding).
   private val frameCache =
-    scala.collection.mutable.Map[(SparkSession, String), DataFrame]()
+    scala.collection.concurrent.TrieMap[(SparkSession, String), DataFrame]()
+  private val frameLocks =
+    scala.collection.concurrent.TrieMap[(SparkSession, String), Object]()
   private val evictionHooked = scala.collection.mutable.Set[SparkSession]()
   private def cachedFrame(spark: SparkSession, key: String)
-                         (build: => DataFrame): DataFrame =
-    frameCache.synchronized {
+                         (build: => DataFrame): DataFrame = {
+    evictionHooked.synchronized {
       if (!evictionHooked.contains(spark)) {
         evictionHooked += spark
         spark.sparkContext.addSparkListener(
           new org.apache.spark.scheduler.SparkListener {
             override def onApplicationEnd(
-                e: org.apache.spark.scheduler.SparkListenerApplicationEnd): Unit =
-              frameCache.synchronized { dropEntries(spark); evictionHooked -= spark }
+                e: org.apache.spark.scheduler.SparkListenerApplicationEnd): Unit = {
+              dropEntries(spark)
+              evictionHooked.synchronized { evictionHooked -= spark }
+            }
           })
       }
-      frameCache.getOrElseUpdate((spark, key),
-        build.persist(StorageLevel.MEMORY_AND_DISK))
     }
+    frameCache.get((spark, key)).getOrElse {
+      val lock = frameLocks.getOrElseUpdate((spark, key), new Object)
+      lock.synchronized {
+        frameCache.getOrElseUpdate((spark, key),
+          build.persist(StorageLevel.MEMORY_AND_DISK))
+      }
+    }
+  }
 
-  /** Assumes the lock is held. */
   private def dropEntries(spark: SparkSession): Unit = {
     frameCache.keys.filter(_._1 eq spark).toList.foreach { k =>
-      scala.util.Try(frameCache(k).unpersist(blocking = false))
-      frameCache -= k
+      frameCache.remove(k).foreach(df => scala.util.Try(df.unpersist(blocking = false)))
+      frameLocks -= k
     }
     bandCache.keys.filter(_._1 eq spark).toList.foreach(bandCache -= _)
     asciiChecked.keys.filter(_._1 eq spark).toList.foreach(asciiChecked -= _)
@@ -64,8 +77,7 @@ object SparkEntry {
   /** Drop every memoized frame for `spark` (Bench calls this between
     * timed repetitions of er-family queries, so "warm best-of-3" measures
     * recomputation, not a cache read). */
-  def clearFrameCache(spark: SparkSession): Unit =
-    frameCache.synchronized(dropEntries(spark))
+  def clearFrameCache(spark: SparkSession): Unit = dropEntries(spark)
 
   private val bandCache =
     scala.collection.concurrent.TrieMap[(SparkSession, String), Int]()
@@ -464,10 +476,13 @@ object SparkEntry {
 
     "q10_json_props" -> ((s, dir) => {
       // JSON scalar functions over the events.props column (codegen'd
-      // get_json_object; no UDF)
+      // get_json_object; no UDF). try_cast, not cast: ANSI mode (Spark 4
+      // default) makes cast('long') THROW on a non-integer k, while the
+      // oracle's TRY_CAST nulls the row — the two must diverge row-wise
+      // on bad data, not die on one side (round-3 review finding).
       table(s, dir, "events")
         .select(col("event_type"),
-          get_json_object(col("props"), "$.k").cast("long").as("k"))
+          expr("try_cast(get_json_object(props, '$.k') AS long)").as("k"))
         .groupBy("event_type")
         .agg(count(lit(1)).as("n"), sum("k").as("sum_k"),
           min("k").as("min_k"), max("k").as("max_k"))

@@ -27,22 +27,30 @@ import org.apache.spark.sql.catalyst.rules.Rule
   * equality) is never added twice. */
 object WfaLengthPrefilter extends Rule[LogicalPlan] with PredicateHelper {
 
-  /** The implied cheap predicate, or None when unsound / not applicable. */
+  /** The implied cheap predicate, or None when unsound / not applicable.
+    * BYTE length (OctetLength), not character length: the scorer aligns
+    * UTF8String.getBytes, and for invalid-UTF-8 content (which Spark
+    * never validates) a single byte substitution can move the CHARACTER
+    * count by up to 3 — `Length`'s gap would not be a lower bound of the
+    * byte edit distance and the rule would wrongly drop matches. */
   private def implied(conjunct: Expression): Option[Expression] = conjunct match {
     case LessThanOrEqual(w: WfaDistance, tl @ Literal(tau: Int, _))
         if bandOf(w).exists(tau < _) =>
-      Some(LessThanOrEqual(Abs(Subtract(Length(w.first), Length(w.second))), tl))
+      Some(LessThanOrEqual(byteLenGap(w), tl))
     case LessThan(w: WfaDistance, tl @ Literal(tau: Int, _))
         if bandOf(w).exists(tau <= _) =>
-      Some(LessThan(Abs(Subtract(Length(w.first), Length(w.second))), tl))
+      Some(LessThan(byteLenGap(w), tl))
     case GreaterThanOrEqual(tl @ Literal(tau: Int, _), w: WfaDistance)
         if bandOf(w).exists(tau < _) =>
-      Some(LessThanOrEqual(Abs(Subtract(Length(w.first), Length(w.second))), tl))
+      Some(LessThanOrEqual(byteLenGap(w), tl))
     case GreaterThan(tl @ Literal(tau: Int, _), w: WfaDistance)
         if bandOf(w).exists(tau <= _) =>
-      Some(LessThan(Abs(Subtract(Length(w.first), Length(w.second))), tl))
+      Some(LessThan(byteLenGap(w), tl))
     case _ => None
   }
+
+  private def byteLenGap(w: WfaDistance): Expression =
+    Abs(Subtract(OctetLength(w.first), OctetLength(w.second)))
 
   private def bandOf(w: WfaDistance): Option[Int] = w.third match {
     case Literal(b: Int, _) => Some(b)

@@ -48,7 +48,10 @@ object AsOf {
     require(clash.isEmpty, s"prefixed right columns collide with left: $clash")
     val payloadType = StructType(rightPayload.map(c => right.schema(c)))
 
-    val rightTagged = right.select(
+    // a null-ts right row would sort NULLS FIRST and become a matchable
+    // "earliest" row for every left row with no true prior match — as-of
+    // semantics (and any `ts <= ts` SQL spec) exclude it, so drop it here
+    val rightTagged = right.where(col(tsCol).isNotNull).select(
       keys.map(col) ++ Seq(
         col(tsCol).as("_asof_ts"), lit(0).as("_asof_side"),
         col(tieCol).cast(right.schema(tieCol).dataType).as("_asof_tie"),

@@ -82,11 +82,17 @@ object Multimodal {
       .mapPartitions { it =>
         it.map { case (id, bytes) =>
           try {
+            // a NULL blob is corrupt input too, not a task-killing NPE
+            require(bytes != null, "null media blob")
             val m = FakeCodec.decode(id, bytes)
             (id, m.width, m.height, m.payload_len, m.format, null: String)
           } catch {
-            case e: IllegalArgumentException =>
-              (id, -1, -1, -1, null: String, e.getMessage)
+            // NonFatal, not just IllegalArgumentException: ANY decoder
+            // failure on one blob must route to quarantine, not kill the
+            // stage (round-3 review finding)
+            case scala.util.control.NonFatal(e) =>
+              (id, -1, -1, -1, null: String,
+                s"${e.getClass.getSimpleName}: ${e.getMessage}")
           }
         }
       }

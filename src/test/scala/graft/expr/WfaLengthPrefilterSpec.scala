@@ -26,22 +26,22 @@ class WfaLengthPrefilterSpec extends AnyFunSuite with SparkTestBase {
     // column pruning may push the filter below the project, substituting
     // p/t with their defining expressions — match on the injected shape
     val optimized = q.queryExecution.optimizedPlan.toString
-    assert(optimized.contains("abs((length(") && optimized.contains("<= 10"), optimized)
+    assert(optimized.contains("abs((octet_length(") && optimized.contains("<= 10"), optimized)
     // short-circuit order: the length predicate precedes the WFA call
     val cond = optimized.linesIterator.find(_.contains("Filter")).get
-    assert(cond.indexOf("abs((length") < cond.indexOf("wfa_distance"), cond)
+    assert(cond.indexOf("abs((octet_length") < cond.indexOf("wfa_distance"), cond)
   }
 
   test("tau >= band would accept saturated rows: no injection") {
     val q = pairs.where(functions.wfa_distance(col("p"), col("t"), lit(8)) <= 8)
     val optimized = q.queryExecution.optimizedPlan.toString
-    assert(!optimized.contains("abs((length"), optimized)
+    assert(!optimized.contains("abs((octet_length"), optimized)
   }
 
   test("strict < is sound at tau == band and injects") {
     val q = pairs.where(functions.wfa_distance(col("p"), col("t"), lit(8)) < 8)
     val optimized = q.queryExecution.optimizedPlan.toString
-    assert(optimized.contains("abs((length"), optimized)
+    assert(optimized.contains("abs((octet_length"), optimized)
   }
 
   test("results are unchanged by the rewrite (vs DP-oracle filter)") {

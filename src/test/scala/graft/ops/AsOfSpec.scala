@@ -47,6 +47,19 @@ class AsOfSpec extends AnyFunSuite with SparkTestBase {
     assert(rows.length == 2 && rows.forall(_.isNullAt(rows.head.fieldIndex("matched_event_id"))))
   }
 
+  test("null-ts right rows are never matchable; null-ts left rows match nothing") {
+    // a null-ts right row would sort NULLS FIRST and become the "earliest"
+    // match for otherwise-unmatched left rows — must be excluded
+    val l = Seq((1L, 1L, Some(100L)), (2L, 1L, None)).toDF("id", "k", "sec")
+      .withColumn("ts", timestamp_seconds(col("sec"))).drop("sec")
+    val r = Seq((7L, 1L, None), (8L, 2L, Some(50L))).toDF("event_id", "k", "sec")
+      .withColumn("ts", timestamp_seconds(col("sec"))).drop("sec")
+      .select(col("k"), col("ts"), col("event_id"))
+    val rows = AsOf.asofJoin(l, r, Seq("k"), "ts", "event_id").collect()
+    assert(rows.length == 2 &&
+      rows.forall(_.isNullAt(rows.head.fieldIndex("matched_event_id"))))
+  }
+
   test("whole-row atomicity: a null payload field never mixes with an older row") {
     // newest right row has v=null; per-column last(ignoreNulls) would
     // stitch (newest id, OLDER v) — the struct fill must return (20, null)
