@@ -612,6 +612,22 @@ object SparkEntry {
         .orderBy("vec_id")
     }),
 
+    "ann05_ivf_trained" -> ((s, dir) => {
+      // train -> serve: IVF probing over KMeans-trained cells (the swap-in
+      // ann03's doc promises). Quantized training is exact-integer, the
+      // dequantize step is one IEEE division — so even this composed
+      // pipeline is value-level oracle-checkable end-to-end.
+      val raw = table(s, dir, "embeddings").select("vec_id", "embedding")
+      val emb = raw.select(col("vec_id"),
+        transform(col("embedding"), _.cast("double")).as("embedding"))
+      val cents = KMeans.dequantizeCentroids(
+        KMeans.train(KMeans.quantize(raw), k = 8, iters = 2))
+      Similarity.ivfTopK(emb.where(col("vec_id") < 10), emb, k = 5,
+          nCells = 8, nProbe = 2, centroids = Some(cents))
+        .select(col("query_id"), col("item_id"), col("rank").cast("long").as("rank"))
+        .orderBy("query_id", "rank")
+    }),
+
     "ann03_ivf_topk" -> ((s, dir) => {
       // IVF-flat: deterministic coarse cells (lowest-16 ids), nProbe=2;
       // the oracle mirrors the same quantization, so parity is value-level
@@ -751,6 +767,45 @@ object SparkEntry {
          |WHERE (h & 1023) <
          |  CASE lang WHEN 'en' THEN 256 WHEN 'zh' THEN 768 ELSE 512 END
          |ORDER BY doc_id""".stripMargin,
+    "ann05_ivf_trained" ->
+      s"""WITH km_q AS (
+         |  SELECT vec_id,
+         |    list_transform(CAST(embedding AS DOUBLE[]),
+         |      x -> CAST(floor(x * 1000) AS BIGINT) + 2000) AS qv
+         |  FROM embeddings),
+         |km_c0 AS (
+         |  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS cell,
+         |         qv AS cv
+         |  FROM (SELECT vec_id, qv FROM km_q ORDER BY vec_id LIMIT 8)),
+         |${kmeansIterCtes("km_c0", 1)},
+         |${kmeansIterCtes("km_c1", 2)},
+         |cents AS (
+         |  SELECT cell AS cent_id,
+         |    list_transform(cv, x -> CAST(x - 2000 AS DOUBLE) / CAST(1000 AS DOUBLE)) AS cv
+         |  FROM km_c2),
+         |emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |asgn AS (
+         |  SELECT vec_id AS item_id, cell FROM (
+         |    SELECT e.vec_id, c.cent_id AS cell,
+         |      row_number() OVER (PARTITION BY e.vec_id
+         |        ORDER BY list_cosine_similarity(e.v, c.cv) DESC, c.cent_id) AS rk
+         |    FROM emb e, cents c) WHERE rk = 1),
+         |qcells AS (
+         |  SELECT vec_id AS query_id, cell FROM (
+         |    SELECT e.vec_id, c.cent_id AS cell,
+         |      row_number() OVER (PARTITION BY e.vec_id
+         |        ORDER BY list_cosine_similarity(e.v, c.cv) DESC, c.cent_id) AS rk
+         |    FROM emb e, cents c WHERE e.vec_id < 10) WHERE rk <= 2),
+         |ranked AS (
+         |  SELECT q.query_id, a.item_id,
+         |    row_number() OVER (PARTITION BY q.query_id
+         |      ORDER BY list_cosine_similarity(qe.v, ie.v) DESC, a.item_id) AS rank
+         |  FROM qcells q
+         |  JOIN asgn a ON a.cell = q.cell AND a.item_id <> q.query_id
+         |  JOIN emb qe ON qe.vec_id = q.query_id
+         |  JOIN emb ie ON ie.vec_id = a.item_id)
+         |SELECT query_id, item_id, rank FROM ranked
+         |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
     "ann04_kmeans" ->
       s"""WITH km_q AS (
          |  SELECT vec_id,

@@ -86,6 +86,17 @@ object KMeans {
     cents.toSeq.toDF("cell", "cv")
   }
 
+  /** Map trained quantized centroids back to embedding space for
+    * [[Similarity.ivfTopK]]: (cell, cv: array<bigint>) ->
+    * (cent_id, cv: array<double>) with cv_d = (cv - shift) / scale.
+    * Each step is one exact-integer-to-double conversion and one IEEE
+    * division — bit-identical in the DuckDB oracle's
+    * `CAST(cv[i] - shift AS DOUBLE) / scale`. */
+  def dequantizeCentroids(centroids: DataFrame,
+                          scale: Int = 1000, shift: Int = 2000): DataFrame =
+    centroids.select(col("cell").as("cent_id"),
+      transform(col("cv"), x => (x - shift).cast("double") / scale).as("cv"))
+
   /** Deterministic initial centroids as a DataFrame (for callers that
     * want the untrained init, e.g. oracle mirrors): the `k` lowest-vec_id
     * quantized vectors, cells numbered 0..k-1 in vec_id order. */

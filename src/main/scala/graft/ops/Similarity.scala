@@ -34,10 +34,11 @@ object Similarity {
   }
 
   /** IVF-flat approximate top-k (the inverted-file ANN scale path): the
-    * corpus is coarse-quantized into `nCells` cells — centroids are the
-    * `nCells` lowest-id corpus vectors (deterministic, training-free,
-    * seed-stable; at real scale swap in k-means|| centroids, the cell
-    * structure below is unchanged) — and each query searches only its
+    * corpus is coarse-quantized into `nCells` cells — centroids default
+    * to the `nCells` lowest-id corpus vectors (deterministic,
+    * training-free, seed-stable), or pass `centroids`(cent_id, cv) from
+    * [[KMeans.train]] via [[KMeans.dequantizeCentroids]] for trained
+    * cells (ann05 wires exactly that) — and each query searches only its
     * `nProbe` most-similar cells instead of the whole corpus.
     *
     * Scale shape: the centroid table is tiny and broadcast to both
@@ -47,9 +48,10 @@ object Similarity {
     * by the probed cells' sizes. With nProbe == nCells this is exactly
     * bruteForceTopK (property-tested). */
   def ivfTopK(queries: DataFrame, corpus: DataFrame, k: Int,
-              nCells: Int = 16, nProbe: Int = 2): DataFrame = {
-    val cents = corpus.orderBy("vec_id").limit(nCells)
-      .select(col("vec_id").as("cent_id"), col("embedding").as("cv"))
+              nCells: Int = 16, nProbe: Int = 2,
+              centroids: Option[DataFrame] = None): DataFrame = {
+    val cents = centroids.getOrElse(corpus.orderBy("vec_id").limit(nCells)
+      .select(col("vec_id").as("cent_id"), col("embedding").as("cv")))
     // corpus cell assignment: argmax_centroid cosine, ties to lowest cent_id
     val asgn = corpus.crossJoin(broadcast(cents))
       .select(col("vec_id"), col("embedding"),

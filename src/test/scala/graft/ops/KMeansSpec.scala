@@ -82,6 +82,22 @@ class KMeansSpec extends AnyFunSuite with SparkTestBase {
     assert(a1 == a7)
   }
 
+  test("ivfTopK over trained centroids: probing every cell equals brute force") {
+    // the nProbe == nCells ≡ brute-force property must hold for ANY cell
+    // structure, trained cells included (the ann05 composition)
+    val emb = vecs.map { case (id, q) => (id, q.map(x => (x - 2000L).toDouble / 1000)) }
+      .toDF("vec_id", "embedding")
+    val cents = KMeans.dequantizeCentroids(KMeans.train(KMeans.quantize(emb), 3, 2))
+    val queries = emb.where(col("vec_id") < 5)
+    def asSet(df: org.apache.spark.sql.DataFrame) = df
+      .select("query_id", "item_id", "rank").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val ivf = asSet(Similarity.ivfTopK(queries, emb, k = 4,
+      nCells = 3, nProbe = 3, centroids = Some(cents)))
+    val brute = asSet(Similarity.bruteForceTopK(queries, emb, k = 4))
+    assert(ivf == brute && ivf.nonEmpty)
+  }
+
   test("quantize yields all-non-negative bigint coords for |x| < 2") {
     val emb = Seq((0L, Array(-1.5f, 0.0f, 1.25f))).toDF("vec_id", "embedding")
     val qv = KMeans.quantize(emb).head().getSeq[Long](1)
