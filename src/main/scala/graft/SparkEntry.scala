@@ -658,6 +658,12 @@ object SparkEntry {
           TextAnalysis.subwordCount(col("text")).as("n_subwords"))
         .orderBy("doc_id")
     }),
+    "txt05_repetition" -> ((s, dir) => {
+      // duplicate-3-gram ratio (Gopher-style repetition quality rule)
+      TextAnalysis.repetition(
+          table(s, dir, "documents").select(col("doc_id"), col("text")), "text")
+        .orderBy("doc_id")
+    }),
     "txt04_fingerprint" -> ((s, dir) => {
       table(s, dir, "documents")
         .select(col("doc_id"), TextAnalysis.fingerprint(col("text")).as("fp"))
@@ -1164,6 +1170,26 @@ object SparkEntry {
     "txt04_fingerprint" ->
       """SELECT doc_id, md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS fp
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "txt05_repetition" ->
+      // DuckDB range() is end-exclusive (Spark sequence is inclusive) and
+      // list_slice's end is inclusive: range(1, len-1) x slice(i, i+2)
+      // == Spark sequence(1, len-2) x slice(i, 3)
+      """WITH toks AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(text), ' +') AS t FROM documents),
+        |g AS (
+        |  SELECT doc_id,
+        |    CASE WHEN len(t) >= 3
+        |         THEN list_transform(range(1, len(t) - 1),
+        |                i -> array_to_string(list_slice(t, i, i + 2), ' '))
+        |         ELSE CAST([] AS VARCHAR[]) END AS grams
+        |  FROM toks)
+        |SELECT doc_id,
+        |  CAST(len(grams) AS BIGINT) AS n_grams,
+        |  CAST(len(list_distinct(grams)) AS BIGINT) AS n_distinct,
+        |  CASE WHEN len(grams) > 0
+        |       THEN CAST(len(grams) - len(list_distinct(grams)) AS DOUBLE) / len(grams)
+        |       ELSE CAST(0.0 AS DOUBLE) END AS rep_ratio
+        |FROM g ORDER BY doc_id""".stripMargin,
     "mm01_media_meta" ->
       """SELECT doc_id AS id,
         |  CAST(doc_id % 48 + 16 AS INT) AS width,

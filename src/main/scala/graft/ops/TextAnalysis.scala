@@ -20,6 +20,32 @@ object TextAnalysis {
     aggregate(split(trim(text), " +"), lit(0L),
       (acc, w) => acc + ceil(length(w).cast("double") / 4.0).cast("long"))
 
+  /** Intra-document repetition (the Gopher-style duplicate-n-gram quality
+    * rule): the fraction of word 3-grams that are repeats of an earlier
+    * 3-gram in the same document. Boilerplate, template spam, and
+    * degenerate generations score high; natural prose scores near 0.
+    * All codegen'd built-ins (sequence/slice/array_distinct) — per-row
+    * map-side work, no shuffle, no UDF.
+    * @return (id passthrough columns, n_grams, n_distinct, rep_ratio) */
+  def repetition(docs: DataFrame, contentCol: String = "content"): DataFrame = {
+    val toks = split(trim(col(contentCol)), " +")
+    // 1-based slice start i in [1, size-2] => size-2 grams; docs under 3
+    // tokens have none (sequence(1, size-2) would count DOWN for size < 3)
+    val grams = when(size(toks) >= 3,
+      transform(sequence(lit(1), size(toks) - 2),
+        i => concat_ws(" ", slice(toks, i, lit(3)))))
+      .otherwise(array().cast("array<string>"))
+    val nGrams = size(grams).cast("long")
+    val nDistinct = size(array_distinct(grams)).cast("long")
+    docs
+      .withColumn("n_grams", nGrams)
+      .withColumn("n_distinct", nDistinct)
+      .withColumn("rep_ratio",
+        when(nGrams > 0, (nGrams - nDistinct).cast("double") / nGrams)
+          .otherwise(lit(0.0)))
+      .drop(contentCol)
+  }
+
   /** Quality metrics: length, token stats, punctuation & stopword ratios,
     * and a composite 0..1 score (standard web-corpus heuristics: e.g.
     * Gopher rules / C4-style filters, re-expressed as columns). */

@@ -200,6 +200,21 @@ class OpsSpec extends AnyFunSuite with SparkTestBase {
     assert(fp2.getString(0) == fp2.getString(1))
   }
 
+  test("repetition: duplicate-3-gram ratio flags boilerplate, spares prose, short docs 0") {
+    val d = Seq(
+      (0L, "aaa aaa aaa aaa"),                  // grams: 2x "aaa aaa aaa" -> ratio 0.5
+      (1L, "one two three four five"),          // 3 distinct grams -> 0.0
+      (2L, "ab cd"),                            // < 3 tokens -> no grams, 0.0
+      (3L, "x y x y x y x y"))                  // alternation: 6 grams, 2 distinct
+      .toDF("id", "content")
+    val out = TextAnalysis.repetition(d).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    assert(out(0L) == ((2L, 1L, 0.5)))
+    assert(out(1L) == ((3L, 3L, 0.0)))
+    assert(out(2L) == ((0L, 0L, 0.0)))
+    assert(out(3L) == ((6L, 2L, 4.0 / 6)))
+  }
+
   test("rolling fingerprint is deterministic and content-sensitive") {
     val a = TextAnalysis.rollingFingerprint("one two three")
     assert(a == TextAnalysis.rollingFingerprint("one two three"))
