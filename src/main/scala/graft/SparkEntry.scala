@@ -474,6 +474,16 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    "samp02_quota" -> ((s, dir) => {
+      // exact per-stratum quota (the "exactly N docs of lang X" mixing
+      // recipe): two-phase top-N over the unsigned splitmix64 hash order
+      // — never one window task per stratum
+      Sampling.quotaPerStratum(
+        table(s, dir, "documents").select(col("doc_id"), col("lang")),
+        "doc_id", "lang", n = 20)
+        .orderBy("doc_id")
+    }),
+
     "q10_json_props" -> ((s, dir) => {
       // JSON scalar functions over the events.props column (codegen'd
       // get_json_object; no UDF). try_cast, not cast: ANSI mode (Spark 4
@@ -741,6 +751,19 @@ object SparkEntry {
         |  ORDER BY r.ts DESC, r.event_id DESC LIMIT 1) r ON true
         |WHERE l.event_type = 'purchase'
         |ORDER BY l.event_id""".stripMargin,
+    "samp02_quota" ->
+      // ORDER BY h compares UBIGINT (unsigned) — the Spark side flips the
+      // sign bit so its signed sort realizes the same order
+      s"""WITH g AS (
+         |  SELECT doc_id, lang,
+         |    ${DuckHash.splitmixCols(
+               "xor(CAST(doc_id AS UBIGINT), CAST(42 AS UBIGINT))", "sq")} AS h
+         |  FROM documents),
+         |r AS (
+         |  SELECT doc_id, lang,
+         |    row_number() OVER (PARTITION BY lang ORDER BY h, doc_id) AS rk
+         |  FROM g)
+         |SELECT doc_id, lang FROM r WHERE rk <= 20 ORDER BY doc_id""".stripMargin,
     "q13_rollup" ->
       """SELECT l_returnflag, l_linestatus, count(*) AS n_rows,
         |  CAST(sum(CAST(floor(l_quantity * 100) AS BIGINT)) AS BIGINT) AS sum_qty_centi

@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Deterministic sampling for training-data mixing. `df.sample()` is
@@ -45,5 +46,39 @@ object Sampling {
       .splitmix64(col(idCol).cast("long").bitwiseXOR(lit(seed)))
       .bitwiseAND(lit(1023L))
     df.where(bucket < rate)
+  }
+
+  /** Exact per-stratum quota: keep the `n` rows of each stratum with the
+    * smallest hashes (unsigned order; ties impossible for distinct ids,
+    * but id is a deterministic secondary sort anyway) — the "exactly N
+    * documents of language X" mixing recipe, reproducible like
+    * [[stratified]] because the survivor set is a pure function of ids.
+    *
+    * Scale shape: a single window `row_number` per stratum would funnel
+    * each stratum through ONE task (the repo-wide banned pathology), so
+    * selection is TWO-PHASE top-N: rank within (stratum, 256-way hash
+    * bucket) first — each window partition holds ~1/256 of a stratum —
+    * then rank the <= 256*n survivors per stratum. The global top-n is
+    * always contained in the per-bucket top-n, so the result is exact. */
+  def quotaPerStratum(df: DataFrame, idCol: String, strataCol: String,
+                      n: Int, seed: Long = 42L): DataFrame = {
+    require(n > 0, "quota must be positive")
+    val h = graft.expr.functions
+      .splitmix64(col(idCol).cast("long").bitwiseXOR(lit(seed)))
+    // flip the sign bit so ascending signed order == ascending UNSIGNED
+    // hash order (the DuckDB oracle compares the hash as UBIGINT)
+    val hOrd = h.bitwiseXOR(lit(Long.MinValue)).as("_samp_h")
+    val withH = df.withColumn("_samp_h", hOrd)
+      .withColumn("_samp_b", col("_samp_h").bitwiseAND(lit(255L)))
+    val perBucket = Window.partitionBy(col(strataCol), col("_samp_b"))
+      .orderBy(col("_samp_h"), col(idCol))
+    val perStratum = Window.partitionBy(col(strataCol))
+      .orderBy(col("_samp_h"), col(idCol))
+    withH
+      .withColumn("_samp_r1", row_number().over(perBucket))
+      .where(col("_samp_r1") <= n)
+      .withColumn("_samp_r2", row_number().over(perStratum))
+      .where(col("_samp_r2") <= n)
+      .drop("_samp_h", "_samp_b", "_samp_r1", "_samp_r2")
   }
 }

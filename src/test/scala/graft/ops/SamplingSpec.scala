@@ -58,6 +58,31 @@ class SamplingSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("quota: exactly n per stratum, the n unsigned-smallest hashes, repartition-stable") {
+    val n = 17
+    val got = Sampling.quotaPerStratum(df, "doc_id", "lang", n)
+      .select("doc_id", "lang").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val byLang = got.groupBy(_._2).view.mapValues(_.map(_._1).toSet).toMap
+    // driver-side reference: sort each stratum by (unsigned hash, id)
+    val expected = rows.groupBy(_._2).view.mapValues { xs =>
+      xs.map(_._1).sortBy(id =>
+        (Hashing.splitmix64(id ^ 42L) ^ Long.MinValue, id)).take(n).toSet
+    }.toMap
+    assert(byLang == expected)
+    assert(byLang.values.forall(_.size == n))
+    val again = Sampling.quotaPerStratum(df.repartition(13), "doc_id", "lang", n)
+      .select("doc_id").as[Long].collect().toSet
+    assert(again == got.map(_._1).toSet)
+  }
+
+  test("quota larger than a stratum keeps the whole stratum") {
+    val tiny = Seq((1L, "en"), (2L, "en"), (3L, "zh")).toDF("doc_id", "lang")
+    val got = Sampling.quotaPerStratum(tiny, "doc_id", "lang", 10)
+      .select("doc_id").as[Long].collect().toSet
+    assert(got == Set(1L, 2L, 3L))
+  }
+
   test("the gate stays inside whole-stage codegen (native expression, no UDF)") {
     // a Range-backed frame: a local Seq collapses to LocalTableScan via
     // ConvertToLocalRelation, hiding the codegen span under test
