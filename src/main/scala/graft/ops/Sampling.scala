@@ -42,10 +42,31 @@ object Sampling {
             .flatMap { case (k, v) => Seq(lit(k), lit(v.toLong)) }: _*),
           col(strataCol)),
         lit(defaultPer1024.toLong))
+    requireHashableId(df, idCol)
     val bucket = graft.expr.functions
-      .splitmix64(col(idCol).cast("long").bitwiseXOR(lit(seed)))
+      .splitmix64(hashableId(df, idCol).bitwiseXOR(lit(seed)))
       .bitwiseAND(lit(1023L))
     df.where(bucket < rate)
+  }
+
+  /** Fail FAST on id columns the hash gate cannot make deterministic: a
+    * string/decimal id would silently cast to null (every such row then
+    * shares one sort key — survivor choice becomes plan-dependent), so
+    * only integral types are accepted, and a null id raises at runtime
+    * instead of hashing to null. */
+  private def requireHashableId(df: DataFrame, idCol: String): Unit = {
+    import org.apache.spark.sql.types._
+    val dt = df.schema(idCol).dataType
+    require(Seq(LongType, IntegerType, ShortType, ByteType).contains(dt),
+      s"id column '$idCol' must be integral for deterministic hashing, got ${dt.simpleString}")
+  }
+
+  private def hashableId(df: DataFrame, idCol: String) = {
+    val id = col(idCol)
+    when(id.isNull,
+      raise_error(lit(s"null id in '$idCol': hash-gated sampling requires non-null ids"))
+        .cast("long"))
+      .otherwise(id.cast("long"))
   }
 
   /** Exact per-stratum quota: keep the `n` rows of each stratum with the
@@ -63,8 +84,12 @@ object Sampling {
   def quotaPerStratum(df: DataFrame, idCol: String, strataCol: String,
                       n: Int, seed: Long = 42L): DataFrame = {
     require(n > 0, "quota must be positive")
+    requireHashableId(df, idCol)
+    val clash = df.columns.toSet
+      .intersect(Set("_samp_h", "_samp_b", "_samp_r1", "_samp_r2"))
+    require(clash.isEmpty, s"input columns collide with working names: $clash")
     val h = graft.expr.functions
-      .splitmix64(col(idCol).cast("long").bitwiseXOR(lit(seed)))
+      .splitmix64(hashableId(df, idCol).bitwiseXOR(lit(seed)))
     // flip the sign bit so ascending signed order == ascending UNSIGNED
     // hash order (the DuckDB oracle compares the hash as UBIGINT)
     val hOrd = h.bitwiseXOR(lit(Long.MinValue)).as("_samp_h")

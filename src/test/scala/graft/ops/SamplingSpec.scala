@@ -76,6 +76,27 @@ class SamplingSpec extends AnyFunSuite with SparkTestBase {
     assert(again == got.map(_._1).toSet)
   }
 
+  test("non-integral id columns are rejected; null ids raise, never hash to null") {
+    val strDf = Seq(("a", "en")).toDF("doc_id", "lang")
+    val e = intercept[IllegalArgumentException] {
+      Sampling.stratified(strDf, "doc_id", "lang", Map.empty, 512)
+    }
+    assert(e.getMessage.contains("integral"))
+    val nullDf = Seq((Some(1L), "en"), (None, "en")).toDF("doc_id", "lang")
+    val err = intercept[Exception] {
+      Sampling.quotaPerStratum(nullDf, "doc_id", "lang", 1).collect()
+    }
+    assert(err.getMessage.contains("null id"))
+  }
+
+  test("working-column name collisions fail loudly instead of clobbering") {
+    val d = Seq((1L, "en", 9L)).toDF("doc_id", "lang", "_samp_h")
+    val e = intercept[IllegalArgumentException] {
+      Sampling.quotaPerStratum(d, "doc_id", "lang", 1)
+    }
+    assert(e.getMessage.contains("_samp_h"))
+  }
+
   test("quota larger than a stratum keeps the whole stratum") {
     val tiny = Seq((1L, "en"), (2L, "en"), (3L, "zh")).toDF("doc_id", "lang")
     val got = Sampling.quotaPerStratum(tiny, "doc_id", "lang", 10)
