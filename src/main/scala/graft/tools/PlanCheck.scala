@@ -15,7 +15,8 @@ object PlanCheck {
       "dd03_minhash_pairs", "ann02_lsh", "dd05_embedding_neardup",
       "er03_candidates",
       "q11_asof_join", "q12_interval_join", "q13_rollup", "q14_pivot",
-      "samp01_stratified", "ann04_kmeans")) {
+      "samp01_stratified", "samp02_quota", "txt05_repetition",
+      "ann04_kmeans", "ann05_ivf_trained")) {
       println(s"===== $q")
       val df = graft.SparkEntry.queries(q)(spark, dir)
       df.collect()
