@@ -127,6 +127,85 @@ object EventStream {
       }
   }
 
+  final case class Enriched(event_id: Long, user_id: Long, ts: Timestamp,
+                            matched_event_id: Option[Long],
+                            matched_ts: Option[Timestamp])
+  /** Per-user as-of state: the latest right event seen — ONE (ts, id)
+    * pair, never a history. MICROsecond timestamps: `Timestamp.getTime`
+    * is millis, and a state round-trip through it truncates the micros
+    * Spark timestamps carry — orderings and the reconstructed matched_ts
+    * would silently diverge from the batch asofJoin. */
+  final case class LastRight(tsUs: Long, id: Long)
+
+  private def toUs(t: Timestamp): Long =
+    Math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000
+  private def fromUs(us: Long): Timestamp = {
+    val t = new Timestamp(Math.floorDiv(us, 1000000L) * 1000L)
+    t.setNanos((Math.floorMod(us, 1000000L) * 1000L).toInt)
+    t
+  }
+
+  /** Streaming point-in-time enrichment (the feature-store as-of): one
+    * stream carries both sides (e.g. views and purchases, split by the
+    * predicates); every LEFT event is emitted once, tagged with the
+    * latest RIGHT event at-or-before it for the same user. Per-user state
+    * is a single [[LastRight]] pair, updated monotonically by (ts, id)
+    * and evicted by event-time timeout after `idleTtlSeconds` — bounded
+    * by live users, never by stream length.
+    *
+    * Each micro-batch sorts its group slice by (ts, right-before-left,
+    * event_id) and walks it in event-time order, so when arrival respects
+    * the watermark the output row set EQUALS the batch
+    * [[graft.ops.AsOf.asofJoin]] of the same split (spec-pinned,
+    * including the inclusive-at-equal-ts and greatest-tie conventions).
+    * A right event arriving in a LATER batch than a left event it should
+    * have matched cannot retroactively re-emit that left row (append
+    * semantics) — the stream answers with the state known at processing
+    * time, which is the point-in-time-correct feature-store behavior. */
+  def asofEnrichStreaming(events: Dataset[Event],
+                          isLeft: Event => Boolean,
+                          isRight: Event => Boolean,
+                          watermark: String = "10 minutes",
+                          idleTtlSeconds: Long = 86400): Dataset[Enriched] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events.withWatermark("ts", watermark)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[LastRight, Enriched](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (userId: Long, it: Iterator[Event], state: GroupState[LastRight]) =>
+          if (!it.hasNext && state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            // right rows sort before left rows at equal ts (inclusive
+            // as-of); among right rows, ascending id => last wins
+            val evs = it.toArray.sortBy(e =>
+              (toUs(e.ts), if (isRight(e)) 0 else 1, e.event_id))
+            var last = state.getOption.orNull
+            val out = List.newBuilder[Enriched]
+            var maxUs = Long.MinValue
+            evs.foreach { e =>
+              val us = toUs(e.ts)
+              maxUs = math.max(maxUs, us)
+              if (isRight(e)) {
+                val cand = LastRight(us, e.event_id)
+                if (last == null || cand.tsUs > last.tsUs ||
+                    (cand.tsUs == last.tsUs && cand.id > last.id)) last = cand
+              }
+              if (isLeft(e))
+                out += Enriched(e.event_id, userId, e.ts,
+                  Option(last).map(_.id),
+                  Option(last).map(l => fromUs(l.tsUs)))
+            }
+            if (last != null) state.update(last)
+            if (evs.nonEmpty)
+              state.setTimeoutTimestamp(maxUs / 1000 + idleTtlSeconds * 1000)
+            out.result().iterator
+          }
+      }
+  }
+
   /** Exact dedup by key: one survivor per `keyCol`. Streaming: the first
     * arrival within the watermark horizon — state is one row per key and
     * is EVICTED once the watermark passes (bounded, unlike a plain

@@ -73,6 +73,38 @@ class EventStreamSpec extends AnyFunSuite with SparkTestBase {
     assert(streamed.count() > 0)
   }
 
+  test("streaming as-of enrichment matches the batch asofJoin on ordered arrival") {
+    val dir = java.nio.file.Files.createTempDirectory("asof-stream").toString
+    val base = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+      .select(col("event_id"), col("ts").cast("timestamp").as("ts"),
+        col("user_id"), col("event_type"), col("value"))
+    base.write.mode("overwrite").parquet(dir)
+    val src = spark.readStream.schema(spark.read.parquet(dir).schema)
+      .parquet(dir).as[EventStream.Event]
+    val q = EventStream.asofEnrichStreaming(src,
+        isLeft = _.event_type == "purchase", isRight = _.event_type == "view")
+      .writeStream.outputMode("append")
+      .format("memory").queryName("asof_stream")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val streamed = spark.table("asof_stream")
+      .select("event_id", "user_id", "matched_event_id", "matched_ts")
+    val batchEv = spark.read.parquet(dir)
+    val batch = graft.ops.AsOf.asofJoin(
+        batchEv.where(col("event_type") === "purchase")
+          .select("event_id", "user_id", "ts"),
+        batchEv.where(col("event_type") === "view")
+          .select(col("user_id"), col("ts"), col("event_id")),
+        Seq("user_id"), "ts", "event_id")
+      .select("event_id", "user_id", "matched_event_id", "matched_ts")
+    assert(streamed.count() ==
+      batchEv.where(col("event_type") === "purchase").count())
+    val extra = streamed.exceptAll(batch).collect()
+    val missing = batch.exceptAll(streamed).collect()
+    assert(extra.isEmpty && missing.isEmpty,
+      s"stream-only=${extra.take(5).mkString(";")} batch-only=${missing.take(5).mkString(";")}")
+  }
+
   test("streaming dedup keeps first occurrence per key; state bounded by watermark") {
     val dir = java.nio.file.Files.createTempDirectory("dedup-stream").toString
     val base = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
