@@ -49,11 +49,14 @@ object Sampling {
     df.where(bucket < rate)
   }
 
-  /** Fail FAST on id columns the hash gate cannot make deterministic: a
-    * string/decimal id would silently cast to null (every such row then
-    * shares one sort key — survivor choice becomes plan-dependent), so
-    * only integral types are accepted, and a null id raises at runtime
-    * instead of hashing to null. */
+  /** Fail FAST on id columns whose cast to long is not exact and total:
+    * under ANSI (Spark 4 default) a non-numeric string or out-of-range
+    * decimal THROWS mid-job per offending row, and with ANSI off it
+    * nulls — either way the survivor set stops being a pure function of
+    * ids, and the DuckDB oracle twin (which hashes the raw BIGINT)
+    * diverges. Integral types are the ones where the cast is guaranteed
+    * lossless for every value; a null id still raises explicitly rather
+    * than hashing to null. */
   private def requireHashableId(df: DataFrame, idCol: String): Unit = {
     import org.apache.spark.sql.types._
     val dt = df.schema(idCol).dataType

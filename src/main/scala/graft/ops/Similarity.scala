@@ -46,8 +46,9 @@ object Similarity {
     * combinable groupBy max(struct) argmax (no window over the corpus);
     * the probe is an equi-join on cell id, so per-query work is bounded
     * by the probed cells' sizes. With nProbe == nCells this is exactly
-    * bruteForceTopK (property-tested). */
-  /** @param nCells cell count for the DEFAULT lowest-id centroids; when
+    * bruteForceTopK (property-tested).
+    *
+    * @param nCells cell count for the DEFAULT lowest-id centroids; when
     *   `centroids` is supplied the actual cell count is that frame's row
     *   count and `nCells` has no effect — size `nProbe` against the
     *   supplied frame, not this parameter. */

@@ -158,10 +158,14 @@ object EventStream {
     * the watermark the output row set EQUALS the batch
     * [[graft.ops.AsOf.asofJoin]] of the same split (spec-pinned,
     * including the inclusive-at-equal-ts and greatest-tie conventions).
-    * A right event arriving in a LATER batch than a left event it should
+    * Out-of-order arrival degrades CONSERVATIVELY, never leaks: a left
+    * event whose ts is older than the retained right state is emitted
+    * with NO match (the one-pair state cannot reconstruct older rights,
+    * and attaching the newer one would be future-feature leakage); a
+    * right event arriving in a later batch than a left event it should
     * have matched cannot retroactively re-emit that left row (append
-    * semantics) — the stream answers with the state known at processing
-    * time, which is the point-in-time-correct feature-store behavior. */
+    * semantics). Null-ts rows mirror the batch twin: null-ts rights are
+    * ignored, null-ts lefts emit with no match. */
   def asofEnrichStreaming(events: Dataset[Event],
                           isLeft: Event => Boolean,
                           isRight: Event => Boolean,
@@ -179,27 +183,33 @@ object EventStream {
             Iterator.empty
           } else {
             // right rows sort before left rows at equal ts (inclusive
-            // as-of); among right rows, ascending id => last wins
+            // as-of); among right rows, ascending id => last wins;
+            // null ts sorts first and is never matchable state
+            def usOf(e: Event): Long = if (e.ts == null) Long.MinValue else toUs(e.ts)
             val evs = it.toArray.sortBy(e =>
-              (toUs(e.ts), if (isRight(e)) 0 else 1, e.event_id))
+              (usOf(e), if (isRight(e)) 0 else 1, e.event_id))
             var last = state.getOption.orNull
             val out = List.newBuilder[Enriched]
             var maxUs = Long.MinValue
             evs.foreach { e =>
-              val us = toUs(e.ts)
-              maxUs = math.max(maxUs, us)
-              if (isRight(e)) {
+              val us = usOf(e)
+              if (e.ts != null) maxUs = math.max(maxUs, us)
+              if (isRight(e) && e.ts != null) {
                 val cand = LastRight(us, e.event_id)
                 if (last == null || cand.tsUs > last.tsUs ||
                     (cand.tsUs == last.tsUs && cand.id > last.id)) last = cand
               }
-              if (isLeft(e))
+              if (isLeft(e)) {
+                // at-or-before ONLY: state carried from a prior batch can
+                // be newer than an out-of-order left event — attaching it
+                // would hand the model a future feature
+                val m = Option(last).filter(_.tsUs <= us)
                 out += Enriched(e.event_id, userId, e.ts,
-                  Option(last).map(_.id),
-                  Option(last).map(l => fromUs(l.tsUs)))
+                  m.map(_.id), m.map(l => fromUs(l.tsUs)))
+              }
             }
             if (last != null) state.update(last)
-            if (evs.nonEmpty)
+            if (maxUs != Long.MinValue)
               state.setTimeoutTimestamp(maxUs / 1000 + idleTtlSeconds * 1000)
             out.result().iterator
           }

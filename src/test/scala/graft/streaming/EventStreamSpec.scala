@@ -86,7 +86,7 @@ class EventStreamSpec extends AnyFunSuite with SparkTestBase {
       .writeStream.outputMode("append")
       .format("memory").queryName("asof_stream")
       .trigger(Trigger.AvailableNow()).start()
-    q.awaitTermination(120000)
+    assert(q.awaitTermination(120000), "streaming query did not finish in time")
     val streamed = spark.table("asof_stream")
       .select("event_id", "user_id", "matched_event_id", "matched_ts")
     val batchEv = spark.read.parquet(dir)
@@ -103,6 +103,40 @@ class EventStreamSpec extends AnyFunSuite with SparkTestBase {
     val missing = batch.exceptAll(streamed).collect()
     assert(extra.isEmpty && missing.isEmpty,
       s"stream-only=${extra.take(5).mkString(";")} batch-only=${missing.take(5).mkString(";")}")
+  }
+
+  test("as-of enrichment across micro-batches: state carries forward, never leaks the future") {
+    // one file per micro-batch (maxFilesPerTrigger=1), mtimes forced so
+    // the file source processes them in order — the single-batch parity
+    // test never exercises cross-batch state at all
+    val dir = java.nio.file.Files.createTempDirectory("asof-mb").toString
+    def write(name: String, rows: Seq[(Long, Long, Long, String)], mtime: Long): Unit = {
+      val p = s"$dir/$name"
+      rows.map { case (id, sec, user, tpe) => (id, ts(sec), user, tpe, 0.0) }
+        .toDF("event_id", "ts", "user_id", "event_type", "value")
+        .coalesce(1).write.mode("overwrite").parquet(p)
+      new java.io.File(p).listFiles().foreach(_.setLastModified(mtime))
+    }
+    // batch 1: the only right event (user 7, ts=100)
+    write("b1", Seq((1L, 100L, 7L, "view")), 1000000L)
+    // batch 2: a late left (ts=95 — OLDER than the state: must NOT match)
+    // and an in-order left (ts=105: matches the batch-1 state)
+    write("b2", Seq((2L, 95L, 7L, "purchase"), (3L, 105L, 7L, "purchase")), 2000000L)
+    val src = spark.readStream.schema(spark.read.parquet(s"$dir/b1").schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(s"$dir/*").as[EventStream.Event]
+    val q = EventStream.asofEnrichStreaming(src,
+        isLeft = _.event_type == "purchase", isRight = _.event_type == "view")
+      .writeStream.outputMode("append")
+      .format("memory").queryName("asof_mb")
+      .trigger(Trigger.AvailableNow()).start()
+    assert(q.awaitTermination(120000), "streaming query did not finish in time")
+    assert(q.recentProgress.count(_.numInputRows > 0) >= 2, "expected >= 2 micro-batches")
+    val rows = spark.table("asof_mb").collect()
+      .map(r => r.getAs[Long]("event_id") ->
+        Option(r.getAs[java.lang.Long]("matched_event_id")).map(_.toLong)).toMap
+    assert(rows(2L).isEmpty, "late left must not be matched to a FUTURE right")
+    assert(rows(3L).contains(1L), "in-order left must match state from the prior batch")
   }
 
   test("streaming dedup keeps first occurrence per key; state bounded by watermark") {
