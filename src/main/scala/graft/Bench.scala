@@ -227,7 +227,10 @@ object Bench {
     // with the er-family frame memo cleared before every repetition so the
     // min is a real recomputation, not a cache read
     val headline = Seq("q01_pricing_agg", "q08_region_revenue",
-      "er04_scores", "dd03_minhash_pairs", "ann01_topk")
+      "er04_scores", "dd03_minhash_pairs", "ann01_topk",
+      // round-3 operators: as-of window join, bucketed interval join,
+      // quota sampling, quantized k-means training
+      "q11_asof_join", "q12_interval_join", "samp02_quota", "ann04_kmeans")
     val queryTimes = headline.map { name =>
       val runs = (1 to 3).map { _ =>
         SparkEntry.clearFrameCache(spark)

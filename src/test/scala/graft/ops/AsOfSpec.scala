@@ -10,24 +10,26 @@ class AsOfSpec extends AnyFunSuite with SparkTestBase {
 
   import spark.implicits._
 
-  test("asof join matches a brute-force closest-prior lookup (randomized)") {
-    val rnd = new scala.util.Random(7)
-    val left = Seq.tabulate(120)(i => (i.toLong, rnd.nextInt(6).toLong, rnd.nextInt(40).toLong))
-    val right = Seq.tabulate(150)(i => (1000L + i, rnd.nextInt(6).toLong, rnd.nextInt(40).toLong))
-    val l = left.toDF("event_id", "k", "ts")
-    val r = right.toDF("event_id", "k", "ts")
-      .select(col("k"), col("ts"), col("event_id"))
-    val got = AsOf.asofJoin(l, r, Seq("k"), "ts", "event_id")
-      .select("event_id", "matched_event_id")
-      .collect()
-      .map(row => row.getLong(0) -> (if (row.isNullAt(1)) None else Some(row.getLong(1))))
-      .toMap
-    val expected = left.map { case (id, k, ts) =>
-      val cands = right.filter { case (_, rk, rts) => rk == k && rts <= ts }
-      id -> (if (cands.isEmpty) None
-             else Some(cands.maxBy { case (rid, _, rts) => (rts, rid) }._1))
-    }.toMap
-    assert(got == expected)
+  test("asof join matches a brute-force closest-prior lookup (randomized, multi-seed)") {
+    for (seed <- Seq(7, 23, 91)) {
+      val rnd = new scala.util.Random(seed)
+      val left = Seq.tabulate(120)(i => (i.toLong, rnd.nextInt(6).toLong, rnd.nextInt(40).toLong))
+      val right = Seq.tabulate(150)(i => (1000L + i, rnd.nextInt(6).toLong, rnd.nextInt(40).toLong))
+      val l = left.toDF("event_id", "k", "ts")
+      val r = right.toDF("event_id", "k", "ts")
+        .select(col("k"), col("ts"), col("event_id"))
+      val got = AsOf.asofJoin(l, r, Seq("k"), "ts", "event_id")
+        .select("event_id", "matched_event_id")
+        .collect()
+        .map(row => row.getLong(0) -> (if (row.isNullAt(1)) None else Some(row.getLong(1))))
+        .toMap
+      val expected = left.map { case (id, k, ts) =>
+        val cands = right.filter { case (_, rk, rts) => rk == k && rts <= ts }
+        id -> (if (cands.isEmpty) None
+               else Some(cands.maxBy { case (rid, _, rts) => (rts, rid) }._1))
+      }.toMap
+      assert(got == expected, s"seed=$seed")
+    }
   }
 
   test("tie semantics: right row at the left ts is visible; greatest tie wins") {
