@@ -463,6 +463,21 @@ object SparkEntry {
         .orderBy("id_a", "id_b")
     }),
 
+    "q15_outer_join" -> ((s, dir) => {
+      // full-outer join coverage (inner/semi/anti/cross live in q02-q09,
+      // q04, ann04): daily click vs purchase counts, days from either
+      // side survive, absent sides normalize to 0
+      val e = table(s, dir, "events")
+      def daily(t: String) = e.where(col("event_type") === t)
+        .groupBy(col("ts").cast("timestamp").cast("date").as("day"))
+        .agg(count(lit(1)).as(s"n_$t"))
+      daily("click").join(daily("purchase"), Seq("day"), "full_outer")
+        .select(col("day"),
+          coalesce(col("n_click"), lit(0L)).as("n_click"),
+          coalesce(col("n_purchase"), lit(0L)).as("n_purchase"))
+        .orderBy("day")
+    }),
+
     "samp01_stratified" -> ((s, dir) => {
       // deterministic stratified mixing sample: hash-gated per-1024 rates
       // (en downsampled, zh upsampled), stable under any partitioning.
@@ -786,6 +801,18 @@ object SparkEntry {
         |  ON a.user_id = b.user_id AND a.event_id < b.event_id
         | AND abs(epoch_us(a.ts) - epoch_us(b.ts)) <= 1800000000
         |ORDER BY id_a, id_b""".stripMargin,
+    "q15_outer_join" ->
+      """WITH c AS (
+        |  SELECT CAST(ts AS DATE) AS day, count(*) AS n_click
+        |  FROM events WHERE event_type = 'click' GROUP BY 1),
+        |p AS (
+        |  SELECT CAST(ts AS DATE) AS day, count(*) AS n_purchase
+        |  FROM events WHERE event_type = 'purchase' GROUP BY 1)
+        |SELECT COALESCE(c.day, p.day) AS day,
+        |  CAST(COALESCE(n_click, 0) AS BIGINT) AS n_click,
+        |  CAST(COALESCE(n_purchase, 0) AS BIGINT) AS n_purchase
+        |FROM c FULL OUTER JOIN p ON c.day = p.day
+        |ORDER BY day""".stripMargin,
     "samp01_stratified" ->
       s"""WITH g AS (
          |  SELECT doc_id, lang,
