@@ -32,6 +32,17 @@ class AsOfSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("composite keys: matches require ALL key columns to agree") {
+    val l = Seq((1L, 10L, "a", 100L), (2L, 10L, "b", 100L)).toDF("id", "k1", "k2", "ts")
+    val r = Seq((7L, 10L, "a", 90L), (8L, 99L, "b", 90L))
+      .toDF("event_id", "k1", "k2", "ts")
+      .select(col("k1"), col("k2"), col("ts"), col("event_id"))
+    val rows = AsOf.asofJoin(l, r, Seq("k1", "k2"), "ts", "event_id")
+      .orderBy("id").collect()
+    assert(rows(0).getAs[Long]("matched_event_id") == 7L)       // (10,"a") matches
+    assert(rows(1).isNullAt(rows(1).fieldIndex("matched_event_id"))) // (10,"b") has no right
+  }
+
   test("tie semantics: right row at the left ts is visible; greatest tie wins") {
     val l = Seq((1L, 10L, 100L)).toDF("id", "k", "ts")
     val r = Seq((50L, 10L, 100L), (51L, 10L, 100L), (40L, 10L, 99L))

@@ -41,17 +41,20 @@ class KMeansSpec extends AnyFunSuite with SparkTestBase {
     (i.toLong, Array.tabulate(8)(d => 2000L + center * 500 + rnd.nextInt(40)))
   }
 
-  test("train+assign matches the driver-side reference exactly") {
-    val q = vecs.toDF("vec_id", "qv")
-    val cents = KMeans.train(q, k = 4, iters = 3)
-    val got = KMeans.assign(q, cents).collect()
-      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
-    val (expAsgn, expCents) = refKmeans(vecs, k = 4, iters = 3)
-    assert(got == expAsgn)
-    val gotCents = cents.collect()
-      .map(r => r.getLong(0) -> r.getSeq[Long](1).toArray).toMap
-    assert(gotCents.keySet == expCents.keySet &&
-      gotCents.forall { case (c, v) => v.sameElements(expCents(c)) })
+  test("train+assign matches the driver-side reference exactly (multiple configs)") {
+    for ((k, iters) <- Seq((4, 3), (2, 1), (6, 2))) {
+      val q = vecs.toDF("vec_id", "qv")
+      val cents = KMeans.train(q, k = k, iters = iters)
+      val got = KMeans.assign(q, cents).collect()
+        .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+      val (expAsgn, expCents) = refKmeans(vecs, k = k, iters = iters)
+      assert(got == expAsgn, s"k=$k iters=$iters")
+      val gotCents = cents.collect()
+        .map(r => r.getLong(0) -> r.getSeq[Long](1).toArray).toMap
+      assert(gotCents.keySet == expCents.keySet &&
+        gotCents.forall { case (c, v) => v.sameElements(expCents(c)) },
+        s"k=$k iters=$iters")
+    }
   }
 
   test("duplicate init vectors: the emptied cell keeps its previous centroid") {
