@@ -58,4 +58,15 @@ object DocumentIO {
       .option("nullValue", CsvNull)
       .option("emptyValue", "\"\"")
       .csv(path)
+
+  /** ORC: the columnar alternative where the lake standardizes on Hive
+    * tooling — splittable, predicate-pushdown-capable like Parquet (the
+    * schema is still passed explicitly: a schema mismatch should fail
+    * fast at analysis, not surface as nulls mid-job). */
+  def readOrc(spark: SparkSession, path: String): DataFrame =
+    spark.read.schema(docSchema).orc(path)
+
+  def writeOrc(df: DataFrame, path: String,
+               mode: SaveMode = SaveMode.Overwrite): Unit =
+    ordered(df).write.mode(mode).orc(path)
 }

@@ -38,6 +38,14 @@ class DocumentIOSpec extends AnyFunSuite with SparkTestBase {
     assert(slurp(back) == slurp(docs))
   }
 
+  test("ORC round-trip is lossless") {
+    val dir = java.nio.file.Files.createTempDirectory("docs-orc").toString
+    DocumentIO.writeOrc(docs, dir)
+    val back = DocumentIO.readOrc(spark, dir)
+    assert(back.schema.fieldNames.toSeq == DocumentIO.docSchema.fieldNames.toSeq)
+    assert(slurp(back) == slurp(docs))
+  }
+
   test("JSONL source feeds the ER pipeline unchanged") {
     val dir = java.nio.file.Files.createTempDirectory("docs-jsonl-er").toString
     DocumentIO.writeJsonl(docs.where(col("content").isNotNull), dir)
