@@ -5,9 +5,9 @@ import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, TernaryExpression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionInfo, TernaryExpression, UnaryExpression}
 import org.apache.spark.sql.functions.call_function
-import org.apache.spark.sql.types.{DataType, IntegerType, LongType, StringType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, IntegerType, LongType, StringType}
 import org.apache.spark.sql.SparkSessionExtensions
 
 /** Runtime entry points for codegen'd WFA expressions. A per-thread
@@ -135,6 +135,64 @@ case class Splitmix64(child: Expression) extends UnaryExpression {
   override protected def withNewChildInternal(c: Expression): Expression = copy(c)
 }
 
+/** Runtime for [[CosineSim]]: one tight pass over both arrays. IEEE
+  * PARITY with the HOF fold it replaces is load-bearing (the ANN oracle
+  * family compares cosine values exactly): same sequential accumulation
+  * order over dims, same sqrt(x)*sqrt(y) denominator, same zero-vector
+  * -> 0.0 rule; null elements or length mismatch -> null, exactly as
+  * zip_with/aggregate propagate. */
+object CosineEval {
+  def cosine(a: org.apache.spark.sql.catalyst.util.ArrayData,
+             b: org.apache.spark.sql.catalyst.util.ArrayData): java.lang.Double = {
+    val n = a.numElements()
+    if (n != b.numElements()) return null
+    var d = 0.0; var x = 0.0; var y = 0.0; var i = 0
+    while (i < n) {
+      if (a.isNullAt(i) || b.isNullAt(i)) return null
+      val av = a.getDouble(i); val bv = b.getDouble(i)
+      d += av * bv; x += av * av; y += bv * bv
+      i += 1
+    }
+    if (x == 0.0 || y == 0.0) 0.0 else d / (math.sqrt(x) * math.sqrt(y))
+  }
+}
+
+/** `cosine_sim(a, b)`: cosine similarity of two array<double> columns as
+  * a codegen'd native expression — the HOF fold (aggregate/zip_with) it
+  * replaces pays per-row lambda dispatch and element boxing (measured
+  * 1.1M vs 6.4M rows/s at dim=64, tools.CosineProbe). */
+case class CosineSim(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+  override def prettyName: String = "cosine_sim"
+
+  private def isDoubleArray(t: DataType) = t match {
+    case ArrayType(DoubleType, _) => true
+    case _ => false
+  }
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (isDoubleArray(left.dataType) && isDoubleArray(right.dataType))
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires (array<double>, array<double>), got " +
+        s"${left.dataType.simpleString}, ${right.dataType.simpleString}")
+
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    CosineEval.cosine(
+      a.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
+      b.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => s"""
+      java.lang.Double r = graft.expr.CosineEval.cosine($a, $b);
+      if (r == null) { ${ev.isNull} = true; } else { ${ev.value} = r.doubleValue(); }
+    """)
+
+  override protected def withNewChildrenInternal(
+      l: Expression, r: Expression): Expression = copy(l, r)
+}
+
 /** Column-API surface. Requires the session to carry [[GraftExtensions]]
   * (resolved through the function registry at analysis time, keeping this
   * file on public Spark API only). */
@@ -146,6 +204,8 @@ object functions {
     call_function("wfa_cigar", pattern, text, band)
 
   def splitmix64(x: Column): Column = call_function("splitmix64", x)
+
+  def cosine_sim(a: Column, b: Column): Column = call_function("cosine_sim", a, b)
 }
 
 /** SparkSessionExtensions hook: registers wfa_distance / wfa_cigar for SQL
@@ -166,6 +226,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("splitmix64"),
       new ExpressionInfo("graft.expr.Splitmix64", "splitmix64"),
       (children: Seq[Expression]) => Splitmix64(children.head)))
+    e.injectFunction((
+      new FunctionIdentifier("cosine_sim"),
+      new ExpressionInfo("graft.expr.CosineSim", "cosine_sim"),
+      (children: Seq[Expression]) => CosineSim(children(0), children(1))))
     // wfa_distance(p,t,band) <= tau  ==>  prepend the implied cheap
     // length-gap predicate (short-circuits the expensive WFA call)
     e.injectOptimizerRule(_ => WfaLengthPrefilter)

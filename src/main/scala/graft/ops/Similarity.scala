@@ -12,8 +12,21 @@ import org.apache.spark.sql.functions._
   * (`zip_with`/`aggregate`) — no UDFs. */
 object Similarity {
 
-  /** Cosine similarity of two float-array columns (0 for zero vectors). */
-  def cosine(a: Column, b: Column): Column = {
+  /** Cosine similarity of two array<double> columns (0 for zero vectors;
+    * null on null elements or length mismatch). Since round 3 this is
+    * the native codegen'd [[graft.expr.CosineSim]] expression — the HOF
+    * fold it replaces paid per-row lambda dispatch and element boxing
+    * (measured 1.1M vs 6.4M rows/s at dim 64, tools.CosineProbe) with
+    * bit-identical IEEE results (same sequential accumulation). Requires
+    * [[graft.expr.GraftExtensions]] on the session, like the sampling
+    * gate. [[cosineHof]] remains as the pure-built-in parity oracle. */
+  def cosine(a: Column, b: Column): Column =
+    graft.expr.functions.cosine_sim(a, b)
+
+  /** The pure higher-order-function formulation (aggregate/zip_with) —
+    * kept as the extension-free fallback and the exact-parity oracle for
+    * the native expression (OpsSpec pins cosine == cosineHof). */
+  def cosineHof(a: Column, b: Column): Column = {
     val dot = aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0d), (acc, v) => acc + v)
     val na = sqrt(aggregate(a, lit(0.0d), (acc, v) => acc + v * v))
     val nb = sqrt(aggregate(b, lit(0.0d), (acc, v) => acc + v * v))

@@ -200,6 +200,37 @@ class OpsSpec extends AnyFunSuite with SparkTestBase {
     assert(fp2.getString(0) == fp2.getString(1))
   }
 
+  test("native cosine_sim is bit-identical to the HOF fold; null/mismatch semantics match") {
+    val vecs = spark.range(5000).select(
+      transform(sequence(lit(0), lit(63)), i => sin(col("id") * (i + 1))).as("a"),
+      transform(sequence(lit(0), lit(63)), i => sin(col("id") * (i + 7))).as("b"))
+    val diff = vecs.select(
+        (Similarity.cosine(col("a"), col("b")) =!=
+          Similarity.cosineHof(col("a"), col("b"))).as("d"))
+      .where(col("d")).count()
+    assert(diff == 0, "native and HOF cosine must be IEEE-identical")
+    // zero vector -> 0.0; null element -> null; length mismatch -> null
+    val edge = Seq(
+      (Array(0.0, 0.0), Array(1.0, 2.0)),
+      (Array(1.0, 2.0), Array(1.0, 2.0))).toDF("a", "b")
+      .unionByName(Seq((Seq(Some(1.0), None), Seq(Some(1.0), Some(2.0))))
+        .toDF("a", "b"))
+    val got = edge.select(Similarity.cosine(col("a"), col("b"))).collect()
+    assert(got(0).getDouble(0) == 0.0)
+    assert(math.abs(got(1).getDouble(0) - 1.0) < 1e-12)
+    assert(got(2).isNullAt(0))
+    val mism = Seq((Array(1.0), Array(1.0, 2.0))).toDF("a", "b")
+    assert(mism.select(Similarity.cosine(col("a"), col("b"))).head().isNullAt(0))
+    // stays inside whole-stage codegen (fixture built with array(), not
+    // transform — HOF lambdas in the INPUT would break the span themselves)
+    val cg = spark.range(100).select(
+      array((1 to 8).map(i => sin(col("id") * i)): _*).as("a"),
+      array((1 to 8).map(i => sin(col("id") * (i + 7))): _*).as("b"))
+    val plan = cg.select(Similarity.cosine(col("a"), col("b")))
+      .queryExecution.executedPlan.toString
+    assert(plan.trim.startsWith("*("), plan)
+  }
+
   test("repetition: duplicate-3-gram ratio flags boilerplate, spares prose, short docs 0") {
     val d = Seq(
       (0L, "aaa aaa aaa aaa"),                  // grams: 2x "aaa aaa aaa" -> ratio 0.5
