@@ -502,9 +502,10 @@ object SparkEntry {
     "q10_json_props" -> ((s, dir) => {
       // JSON scalar functions over the events.props column (codegen'd
       // get_json_object; no UDF). try_cast, not cast: ANSI mode (Spark 4
-      // default) makes cast('long') THROW on a non-integer k, while the
-      // oracle's TRY_CAST nulls the row — the two must diverge row-wise
-      // on bad data, not die on one side (round-3 review finding).
+      // default) makes cast('long') THROW on a non-integer k. Spark's
+      // try_cast nulls any non-integral string; the oracle gates on an
+      // integral-format regexp to null the same rows (DuckDB's TRY_CAST
+      // alone would ROUND '1.5' to 2 — round-3 advice).
       table(s, dir, "events")
         .select(col("event_type"),
           expr("try_cast(get_json_object(props, '$.k') AS long)").as("k"))
@@ -966,13 +967,21 @@ object SparkEntry {
         |  AND l_shipdate < TIMESTAMP '1998-01-01'
         |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q10_json_props" ->
-      // TRY_CAST mirrors Spark's null-on-invalid cast('long'): a future sf
-      // with a float/string k must diverge row-wise, not error the oracle
-      """SELECT event_type, count(*) AS n,
-        |  CAST(sum(TRY_CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
-        |  min(TRY_CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
-        |  max(TRY_CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
-        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+      // the integral-format regexp gate mirrors Spark's try_cast('long')
+      // row-wise: Spark nulls ANY non-integral string ('1.5' included),
+      // while DuckDB's TRY_CAST ROUNDS numerics ('1.5' -> 2) — a bare
+      // TRY_CAST twin would diverge in VALUES, not nulls, on a future sf
+      // with float-valued k (round-3 advice)
+      """WITH k AS (
+        |  SELECT event_type,
+        |    CASE WHEN regexp_matches(trim(json_extract_string(props, '$.k')),
+        |                             '^[+-]?[0-9]+$')
+        |         THEN TRY_CAST(trim(json_extract_string(props, '$.k')) AS BIGINT)
+        |         END AS k
+        |  FROM events)
+        |SELECT event_type, count(*) AS n,
+        |  CAST(sum(k) AS BIGINT) AS sum_k, min(k) AS min_k, max(k) AS max_k
+        |FROM k GROUP BY 1 ORDER BY 1""".stripMargin,
     "er01_corpus" ->
       s"""$ErCorpusCte
          |SELECT id, lang, sha256(content) AS sha256, length(content) AS len

@@ -139,8 +139,11 @@ case class Splitmix64(child: Expression) extends UnaryExpression {
   * PARITY with the HOF fold it replaces is load-bearing (the ANN oracle
   * family compares cosine values exactly): same sequential accumulation
   * order over dims, same sqrt(x)*sqrt(y) denominator, same zero-vector
-  * -> 0.0 rule; null elements or length mismatch -> null, exactly as
-  * zip_with/aggregate propagate. */
+  * -> 0.0 rule; null elements or length mismatch -> null. The null rules
+  * are checked BEFORE the zero-norm rule — [[graft.ops.Similarity.cosineHof]]
+  * deliberately orders its `when` chain the same way (a round-3 review
+  * found the corner a=[0.0] vs b=[1.0, 2.0] diverging when zero-norm was
+  * consulted first). */
 object CosineEval {
   def cosine(a: org.apache.spark.sql.catalyst.util.ArrayData,
              b: org.apache.spark.sql.catalyst.util.ArrayData): java.lang.Double = {

@@ -132,7 +132,8 @@ object Dedup {
     val a = embeddings.select(col("vec_id").as("id_a"), col("embedding").as("va"))
     val b = embeddings.select(col("vec_id").as("id_b"), col("embedding").as("vb"))
     a.join(b, col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"), Similarity.cosine(col("va"), col("vb")).as("cos"))
+      .select(col("id_a"), col("id_b"),
+        Similarity.cosineFor(embeddings.sparkSession)(col("va"), col("vb")).as("cos"))
       .where(col("cos") >= threshold)
   }
 }

@@ -1,7 +1,7 @@
 package graft.ops
 
 import graft.core.Hashing
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -25,22 +25,44 @@ object Similarity {
 
   /** The pure higher-order-function formulation (aggregate/zip_with) —
     * kept as the extension-free fallback and the exact-parity oracle for
-    * the native expression (OpsSpec pins cosine == cosineHof). */
+    * the native expression (OpsSpec pins cosine == cosineHof). Null
+    * propagation deliberately mirrors [[graft.expr.CosineEval]] in EVERY
+    * corner: length mismatch or any null element -> null BEFORE the
+    * zero-norm -> 0.0 rule is consulted (a round-3 review found the old
+    * zero-norm-first ordering returned 0.0 where the native expression
+    * returns null, e.g. a=[0.0] vs b=[1.0, 2.0]). Each accumulator is its
+    * own sequential fold, so surviving values are IEEE-bit-identical. */
   def cosineHof(a: Column, b: Column): Column = {
     val dot = aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0d), (acc, v) => acc + v)
-    val na = sqrt(aggregate(a, lit(0.0d), (acc, v) => acc + v * v))
-    val nb = sqrt(aggregate(b, lit(0.0d), (acc, v) => acc + v * v))
-    when(na === 0.0 || nb === 0.0, 0.0).otherwise(dot / (na * nb))
+    val na2 = aggregate(a, lit(0.0d), (acc, v) => acc + v * v)
+    val nb2 = aggregate(b, lit(0.0d), (acc, v) => acc + v * v)
+    when(size(a) =!= size(b) || dot.isNull, lit(null).cast("double"))
+      .otherwise(when(na2 === 0.0 || nb2 === 0.0, 0.0)
+        .otherwise(dot / (sqrt(na2) * sqrt(nb2))))
   }
+
+  /** Session-aware cosine: the native codegen expression when
+    * [[graft.expr.GraftExtensions]] is on the session, else the
+    * bit-identical [[cosineHof]] fallback — so library callers on a
+    * vanilla session get correct (if slower) results instead of Spark's
+    * generic UNRESOLVED_ROUTINE analysis error (round-3 advice). The
+    * registry probe is memoized per session. */
+  private val nativeProbe =
+    scala.collection.concurrent.TrieMap[SparkSession, Boolean]()
+  private[ops] def hasNativeFns(spark: SparkSession): Boolean =
+    nativeProbe.getOrElseUpdate(spark, spark.catalog.functionExists("cosine_sim"))
+  def cosineFor(spark: SparkSession): (Column, Column) => Column =
+    if (hasNativeFns(spark)) cosine else cosineHof
 
   /** Exact brute-force top-k: for each query vector, the k most cosine-
     * similar corpus vectors. The query side should be small (broadcast);
     * the corpus side streams. */
   def bruteForceTopK(queries: DataFrame, corpus: DataFrame, k: Int): DataFrame = {
+    val cos = cosineFor(corpus.sparkSession)
     val q = queries.select(col("vec_id").as("query_id"), col("embedding").as("qv"))
     val c = corpus.select(col("vec_id").as("item_id"), col("embedding").as("cv"))
     val scored = c.join(broadcast(q), col("query_id") =!= col("item_id"))
-      .select(col("query_id"), col("item_id"), cosine(col("qv"), col("cv")).as("cos"))
+      .select(col("query_id"), col("item_id"), cos(col("qv"), col("cv")).as("cos"))
     val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("item_id"))
     scored.withColumn("rank", row_number().over(w))
       .where(col("rank") <= k)
@@ -68,12 +90,13 @@ object Similarity {
   def ivfTopK(queries: DataFrame, corpus: DataFrame, k: Int,
               nCells: Int = 16, nProbe: Int = 2,
               centroids: Option[DataFrame] = None): DataFrame = {
+    val cos = cosineFor(corpus.sparkSession)
     val cents = centroids.getOrElse(corpus.orderBy("vec_id").limit(nCells)
       .select(col("vec_id").as("cent_id"), col("embedding").as("cv")))
     // corpus cell assignment: argmax_centroid cosine, ties to lowest cent_id
     val asgn = corpus.crossJoin(broadcast(cents))
       .select(col("vec_id"), col("embedding"),
-        cosine(col("embedding"), col("cv")).as("sim"), col("cent_id"))
+        cos(col("embedding"), col("cv")).as("sim"), col("cent_id"))
       .groupBy("vec_id")
       .agg(max(struct(col("sim"), (-col("cent_id")).as("negc"))).as("best"),
         first("embedding").as("embedding"))
@@ -86,14 +109,14 @@ object Similarity {
       .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
       .crossJoin(broadcast(cents))
       .select(col("query_id"), col("qv"),
-        cosine(col("qv"), col("cv")).as("sim"), col("cent_id"))
+        cos(col("qv"), col("cv")).as("sim"), col("cent_id"))
       .withColumn("rk", row_number().over(probeW))
       .where(col("rk") <= nProbe)
       .select(col("query_id"), col("qv"), col("cent_id").as("cell"))
     val rankW = Window.partitionBy("query_id").orderBy(col("cos").desc, col("item_id"))
     qcells.join(asgn, "cell")
       .where(col("query_id") =!= col("item_id"))
-      .select(col("query_id"), col("item_id"), cosine(col("qv"), col("iv")).as("cos"))
+      .select(col("query_id"), col("item_id"), cos(col("qv"), col("iv")).as("cos"))
       .withColumn("rank", row_number().over(rankW))
       .where(col("rank") <= k)
   }
@@ -128,7 +151,8 @@ object Similarity {
     val va = embeddings.select(col("vec_id").as("id_a"), col("embedding").as("va"))
     val vb = embeddings.select(col("vec_id").as("id_b"), col("embedding").as("vb"))
     pairs.join(va, "id_a").join(vb, "id_b")
-      .select(col("id_a"), col("id_b"), cosine(col("va"), col("vb")).as("cos"))
+      .select(col("id_a"), col("id_b"),
+        cosineFor(embeddings.sparkSession)(col("va"), col("vb")).as("cos"))
       .where(col("cos") >= threshold)
   }
 }

@@ -221,6 +221,25 @@ class OpsSpec extends AnyFunSuite with SparkTestBase {
     assert(got(2).isNullAt(0))
     val mism = Seq((Array(1.0), Array(1.0, 2.0))).toDF("a", "b")
     assert(mism.select(Similarity.cosine(col("a"), col("b"))).head().isNullAt(0))
+    // the round-3-advice corner: length mismatch WITH a zero-norm side.
+    // Null rules run before the zero-norm rule on BOTH formulations (the
+    // old HOF ordering returned 0.0 here while the native returned null).
+    val corner = Seq(
+      (Array(0.0), Array(1.0, 2.0)),          // zero-norm + mismatch
+      (Array(0.0, 0.0), Array(1.0, 2.0))).toDF("a", "b") // zero-norm, equal len
+      .unionByName(Seq((Seq(Some(0.0), Some(0.0)), Seq(Some(1.0), None)))
+        .toDF("a", "b"))                      // zero-norm + null element
+    val both = corner.select(
+      Similarity.cosine(col("a"), col("b")).as("native"),
+      Similarity.cosineHof(col("a"), col("b")).as("hof")).collect()
+    assert(both(0).isNullAt(0) && both(0).isNullAt(1))
+    assert(both(1).getDouble(0) == 0.0 && both(1).getDouble(1) == 0.0)
+    assert(both(2).isNullAt(0) && both(2).isNullAt(1))
+    // HOF parity on the earlier edge fixture too (zero-vec / exact / null)
+    val hofEdge = edge.select(Similarity.cosineHof(col("a"), col("b"))).collect()
+    assert(hofEdge(0).getDouble(0) == 0.0)
+    assert(math.abs(hofEdge(1).getDouble(0) - 1.0) < 1e-12)
+    assert(hofEdge(2).isNullAt(0))
     // stays inside whole-stage codegen (fixture built with array(), not
     // transform — HOF lambdas in the INPUT would break the span themselves)
     val cg = spark.range(100).select(
