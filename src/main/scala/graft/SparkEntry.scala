@@ -456,9 +456,14 @@ object SparkEntry {
     "q12_interval_join" -> ((s, dir) => {
       // interval self-join (no Spark built-in): same-user event pairs
       // within 30 minutes, via time-cell bucketing + equi-join — never
-      // the per-key cartesian the naive theta join degenerates to.
+      // the per-key cartesian the naive theta join degenerates to. The
+      // 64-row hot-cell cap (non-binding at every sf: max observed cell
+      // is 3) is the same anti-quadratic policy as er03/Buckets, mirrored
+      // in the oracle's cell-size CTE — a bot burst inside one 30-min
+      // cell is dropped with droppedStats lineage instead of going
+      // quadratic at 100x (round-3 verdict #1).
       RangeJoin.withinInterval(table(s, dir, "events"), Seq("user_id"),
-          "ts", "event_id", widthUs = 1800L * 1000000L)
+          "ts", "event_id", widthUs = 1800L * 1000000L, maxCellSize = 64)
         .select(col("user_id"), col("id_a"), col("id_b"), col("gap_us"))
         .orderBy("id_a", "id_b")
     }),
@@ -795,10 +800,21 @@ object SparkEntry {
         |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
     "q12_interval_join" ->
       // independent declarative spec (the band literal is pre-multiplied:
-      // DuckDB folds 1800 * 1000000 in INT32 and overflows)
-      """SELECT a.user_id, a.event_id AS id_a, b.event_id AS id_b,
+      // DuckDB folds 1800 * 1000000 in INT32 and overflows). The elig CTE
+      // mirrors the 64-row hot-cell cap: rows whose home 30-min cell has
+      // more than 64 same-user events are excluded from both sides (the
+      // er03 bucket-cap pattern; `//` floors on the non-negative epochs
+      // exactly like Spark's `div`).
+      """WITH ev AS (
+        |  SELECT user_id, event_id, ts,
+        |    epoch_us(ts) // 1800000000 AS cell
+        |  FROM events),
+        |csz AS (SELECT user_id, cell, count(*) AS n FROM ev GROUP BY 1, 2),
+        |elig AS (SELECT e.user_id, e.event_id, e.ts
+        |         FROM ev e JOIN csz USING (user_id, cell) WHERE n <= 64)
+        |SELECT a.user_id, a.event_id AS id_a, b.event_id AS id_b,
         |  epoch_us(b.ts) - epoch_us(a.ts) AS gap_us
-        |FROM events a JOIN events b
+        |FROM elig a JOIN elig b
         |  ON a.user_id = b.user_id AND a.event_id < b.event_id
         | AND abs(epoch_us(a.ts) - epoch_us(b.ts)) <= 1800000000
         |ORDER BY id_a, id_b""".stripMargin,
