@@ -160,6 +160,69 @@ object CosineEval {
   }
 }
 
+/** Runtime for [[L2SqInt]]: one tight pass. Parity contract with the HOF
+  * fold it replaces (`aggregate(zip_with(a, b, (x,y) => (x-y)*(x-y)), 0L, +)`):
+  * identical for equal-length null-free arrays whose squared differences
+  * sum inside a signed 64-bit long (quantized embeddings are ~1e3 per
+  * coordinate — 64 dims sum to ~1e9, nowhere near 2^63); length mismatch
+  * or a null element -> null, exactly as zip_with padding / aggregate
+  * propagate. Out-of-range inputs wrap (Java semantics) where the ANSI
+  * HOF would throw — callers own the range, as with [[Splitmix64]]. */
+object L2SqEval {
+  def l2sq(a: org.apache.spark.sql.catalyst.util.ArrayData,
+           b: org.apache.spark.sql.catalyst.util.ArrayData): java.lang.Long = {
+    val n = a.numElements()
+    if (n != b.numElements()) return null
+    var acc = 0L
+    var i = 0
+    while (i < n) {
+      if (a.isNullAt(i) || b.isNullAt(i)) return null
+      val d = a.getLong(i) - b.getLong(i)
+      acc += d * d
+      i += 1
+    }
+    acc
+  }
+}
+
+/** `l2sq_int(a, b)`: integer squared-L2 distance of two array<bigint>
+  * columns as a codegen'd native expression — the per-row kernel of the
+  * k-means assignment cross join (training AND IVF serving), where the
+  * HOF fold pays per-row lambda dispatch + element boxing x k centroids x
+  * corpus (the identical shape CosineSim replaced at a measured 10.5x for
+  * cosine; l2sq_probe in BASELINE.md has this expression's numbers). */
+case class L2SqInt(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+  override def prettyName: String = "l2sq_int"
+
+  private def isLongArray(t: DataType) = t match {
+    case ArrayType(LongType, _) => true
+    case _ => false
+  }
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (isLongArray(left.dataType) && isLongArray(right.dataType))
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires (array<bigint>, array<bigint>), got " +
+        s"${left.dataType.simpleString}, ${right.dataType.simpleString}")
+
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    L2SqEval.l2sq(
+      a.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
+      b.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => s"""
+      java.lang.Long r = graft.expr.L2SqEval.l2sq($a, $b);
+      if (r == null) { ${ev.isNull} = true; } else { ${ev.value} = r.longValue(); }
+    """)
+
+  override protected def withNewChildrenInternal(
+      l: Expression, r: Expression): Expression = copy(l, r)
+}
+
 /** `cosine_sim(a, b)`: cosine similarity of two array<double> columns as
   * a codegen'd native expression — the HOF fold (aggregate/zip_with) it
   * replaces pays per-row lambda dispatch and element boxing (measured
@@ -209,6 +272,8 @@ object functions {
   def splitmix64(x: Column): Column = call_function("splitmix64", x)
 
   def cosine_sim(a: Column, b: Column): Column = call_function("cosine_sim", a, b)
+
+  def l2sq_int(a: Column, b: Column): Column = call_function("l2sq_int", a, b)
 }
 
 /** SparkSessionExtensions hook: registers wfa_distance / wfa_cigar for SQL
@@ -233,6 +298,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("cosine_sim"),
       new ExpressionInfo("graft.expr.CosineSim", "cosine_sim"),
       (children: Seq[Expression]) => CosineSim(children(0), children(1))))
+    e.injectFunction((
+      new FunctionIdentifier("l2sq_int"),
+      new ExpressionInfo("graft.expr.L2SqInt", "l2sq_int"),
+      (children: Seq[Expression]) => L2SqInt(children(0), children(1))))
     // wfa_distance(p,t,band) <= tau  ==>  prepend the implied cheap
     // length-gap predicate (short-circuits the expensive WFA call)
     e.injectOptimizerRule(_ => WfaLengthPrefilter)

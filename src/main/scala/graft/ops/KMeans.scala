@@ -36,20 +36,36 @@ object KMeans {
       transform(col("embedding"),
         x => floor(x.cast("double") * scale).cast("long") + shift).as("qv"))
 
-  /** Integer squared-L2 distance between two bigint-array columns. */
-  private def dist2(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+  /** Integer squared-L2 distance as the pure HOF fold — kept as the
+    * extension-free fallback and the exact-parity oracle for the native
+    * [[graft.expr.L2SqInt]] (KMeansSpec pins them equal), exactly like
+    * [[Similarity.cosineHof]]. The native expression replaces this in the
+    * assignment hot loop: the fold pays per-row lambda dispatch + element
+    * boxing x k centroids x corpus rows (the shape CosineProbe measured
+    * 10.5x slower than codegen for cosine; round-3 verdict #2). */
+  private[ops] def dist2Hof(a: org.apache.spark.sql.Column,
+                            b: org.apache.spark.sql.Column) =
     aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)), lit(0L), (acc, v) => acc + v)
+
+  /** Session-aware dist2: native codegen when GraftExtensions is on the
+    * session, bit-identical HOF otherwise (the [[Similarity.cosineFor]]
+    * convention — both functions register together, so one probe serves). */
+  private def dist2For(spark: SparkSession):
+      (org.apache.spark.sql.Column, org.apache.spark.sql.Column) => org.apache.spark.sql.Column =
+    if (Similarity.hasNativeFns(spark)) graft.expr.functions.l2sq_int else dist2Hof
 
   /** Assign every vector to its nearest centroid.
     * @param quantized (vec_id, qv) from [[quantize]]
     * @param centroids (cell: bigint, cv: array<bigint>)
     * @return (vec_id, cell, dist2) */
-  def assign(quantized: DataFrame, centroids: DataFrame): DataFrame =
+  def assign(quantized: DataFrame, centroids: DataFrame): DataFrame = {
+    val dist2 = dist2For(quantized.sparkSession)
     quantized.crossJoin(broadcast(centroids))
       .select(col("vec_id"), dist2(col("qv"), col("cv")).as("d2"), col("cell"))
       .groupBy("vec_id")
       .agg(min(struct(col("d2"), col("cell"))).as("best"))
       .select(col("vec_id"), col("best.cell").as("cell"), col("best.d2").as("dist2"))
+  }
 
   /** Train `k` centroids with `iters` Lloyd iterations. Init = the `k`
     * lowest-vec_id vectors (deterministic, the same convention as

@@ -101,6 +101,36 @@ class KMeansSpec extends AnyFunSuite with SparkTestBase {
     assert(ivf == brute && ivf.nonEmpty)
   }
 
+  test("native l2sq_int is exactly the HOF fold; null/mismatch semantics match; codegen") {
+    import graft.expr.functions.l2sq_int
+    // randomized parity over the quantized value range
+    val vs = spark.range(4000).select(
+      transform(sequence(lit(0), lit(63)),
+        i => (col("id") * (i + 1) % 4000).cast("long")).as("a"),
+      transform(sequence(lit(0), lit(63)),
+        i => (col("id") * (i + 5) % 4000).cast("long")).as("b"))
+    val diff = vs.select((l2sq_int(col("a"), col("b")) =!=
+        KMeans.dist2Hof(col("a"), col("b"))).as("d"))
+      .where(col("d")).count()
+    assert(diff == 0, "native and HOF l2sq must be identical")
+    // corners: equal arrays -> 0; mismatch -> null; null element -> null
+    val exact = Seq((Array(1L, 2L, 3L), Array(1L, 2L, 3L))).toDF("a", "b")
+    assert(exact.select(l2sq_int(col("a"), col("b"))).head().getLong(0) == 0L)
+    val mism = Seq((Array(1L), Array(1L, 2L))).toDF("a", "b")
+    assert(mism.select(l2sq_int(col("a"), col("b"))).head().isNullAt(0))
+    assert(mism.select(KMeans.dist2Hof(col("a"), col("b"))).head().isNullAt(0))
+    val withNull = Seq((Seq(Some(1L), None), Seq(Some(1L), Some(2L)))).toDF("a", "b")
+    assert(withNull.select(l2sq_int(col("a"), col("b"))).head().isNullAt(0))
+    assert(withNull.select(KMeans.dist2Hof(col("a"), col("b"))).head().isNullAt(0))
+    // stays inside whole-stage codegen (array() fixture, not transform)
+    val cg = spark.range(100).select(
+      array((1 to 8).map(i => (col("id") * i).cast("long")): _*).as("a"),
+      array((1 to 8).map(i => (col("id") + i).cast("long")): _*).as("b"))
+    val plan = cg.select(l2sq_int(col("a"), col("b")))
+      .queryExecution.executedPlan.toString
+    assert(plan.trim.startsWith("*("), plan)
+  }
+
   test("quantize yields all-non-negative bigint coords for |x| < 2") {
     val emb = Seq((0L, Array(-1.5f, 0.0f, 1.25f))).toDF("vec_id", "embedding")
     val qv = KMeans.quantize(emb).head().getSeq[Long](1)
