@@ -131,6 +131,21 @@ class KMeansSpec extends AnyFunSuite with SparkTestBase {
     assert(plan.trim.startsWith("*("), plan)
   }
 
+  test("train cache ownership: releases its own persist, respects the caller's") {
+    import org.apache.spark.storage.StorageLevel
+    val q = vecs.toDF("vec_id", "qv")
+    KMeans.train(q, 3, 2).collect()
+    assert(q.storageLevel == StorageLevel.NONE,
+      "train must release the persist it added for the run")
+    val pre = vecs.toDF("vec_id", "qv").persist(StorageLevel.MEMORY_AND_DISK)
+    pre.count()
+    try {
+      KMeans.train(pre, 3, 2).collect()
+      assert(pre.storageLevel != StorageLevel.NONE,
+        "train must not unpersist a caller-owned cache")
+    } finally pre.unpersist()
+  }
+
   test("quantize yields all-non-negative bigint coords for |x| < 2") {
     val emb = Seq((0L, Array(-1.5f, 0.0f, 1.25f))).toDF("vec_id", "embedding")
     val qv = KMeans.quantize(emb).head().getSeq[Long](1)
