@@ -440,6 +440,16 @@ object SparkEntry {
           sum(floor(col("l_quantity") * 100).cast("long")).as("sum_qty_centi"))
         .orderBy(asc_nulls_first("l_returnflag"), asc_nulls_first("l_linestatus"))
     }),
+    "q16_cube" -> ((s, dir) => {
+      // full cross-dimensional super-aggregates via the cube operator
+      // (Catalyst Expand, 4 grouping sets) — completes the grouping
+      // family next to q13's rollup; same nulls-first ordering contract
+      table(s, dir, "documents")
+        .cube(col("lang"), floor(length(col("text")) / 256).as("bucket"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(length(col("text")).cast("long")).as("sum_len"))
+        .orderBy(asc_nulls_first("lang"), asc_nulls_first("bucket"))
+    }),
     "q14_pivot" -> ((s, dir) => {
       // pivot (long -> wide) with an explicit column list so the output
       // schema is static (no extra distinct job, stable at any sf);
@@ -790,6 +800,17 @@ object SparkEntry {
         |  CAST(sum(CAST(floor(l_quantity * 100) AS BIGINT)) AS BIGINT) AS sum_qty_centi
         |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
         |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
+    "q16_cube" ->
+      // bucket computed in a CTE so CUBE references a plain column;
+      // NULLS FIRST mirrors Spark's asc default (the q13 lesson)
+      """WITH d AS (
+        |  SELECT lang, CAST(floor(length(text) / 256) AS BIGINT) AS bucket,
+        |         length(text) AS len
+        |  FROM documents)
+        |SELECT lang, bucket, count(*) AS n_docs,
+        |  CAST(sum(len) AS BIGINT) AS sum_len
+        |FROM d GROUP BY CUBE(lang, bucket)
+        |ORDER BY lang NULLS FIRST, bucket NULLS FIRST""".stripMargin,
     "q14_pivot" ->
       """SELECT user_id,
         |  CAST(count(*) FILTER (event_type = 'click') AS BIGINT) AS n_click,
