@@ -1,9 +1,9 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.types.{LongType, StructField, StructType}
 
 /** As-of (temporal point-in-time) join — an operator Spark has no built-in
   * for. For each left row, attach the single most recent right row with
@@ -75,6 +75,98 @@ object AsOf {
       .withColumn("_asof_r", last(col("_asof_r"), ignoreNulls = true).over(w))
       .where(col("_asof_side") === 1)
       .select(keys.map(col) ++ leftOnly.map(col) ++
+        rightPayload.map(c => col(s"_asof_r.$c").as(prefix + c)): _*)
+  }
+
+  /** Hot-key variant of [[asofJoin]] (round-3 verdict #3): identical
+    * result, but one key's history is SPLIT across (key, time-bucket)
+    * window partitions instead of funneling through one task. Three
+    * steps, all bounded:
+    *  1. per-(key, bucket) right summaries — `max_by((ts, tie, payload),
+    *     (ts, tie))`, a map-side-combinable aggregate (one skinny row per
+    *     bucket, never the history);
+    *  2. boundary stitch — over the tiny summary frame, a running `last`
+    *     per key carries "the latest right row of any STRICTLY earlier
+    *     bucket" to each left bucket (a summary of bucket b becomes
+    *     available at b+1, so in-bucket rows are never duplicated);
+    *  3. the [[asofJoin]] union + running-last composition, now
+    *     partitioned by (key, bucket), with the carry row injected as one
+    *     extra right-tagged row per bucket (its real timestamp keeps the
+    *     inclusive `>=` ordering exact).
+    * The per-task work bound drops from O(hottest key's history) to
+    * O(hottest (key, bucket) + that key's bucket count on the stitch
+    * frame). Both sides' `tsCol` must be castable to timestamp
+    * (microsecond ordering — exact for timestamp inputs); pick
+    * `bucketWidthUs` so a hot key's per-bucket density is task-sized.
+    * Default stays [[asofJoin]]: at benign skew one shuffle beats three
+    * small ones (measured, graft.tools.JoinScale — quote the asymmetry). */
+  def asofJoinBucketed(left: DataFrame, right: DataFrame, keys: Seq[String],
+                       tsCol: String, tieCol: String, bucketWidthUs: Long,
+                       prefix: String = "matched_"): DataFrame = {
+    require(bucketWidthUs > 0, "bucketWidthUs must be positive")
+    val rightPayload = right.columns.filterNot(keys.contains).toSeq
+    val leftOnly = left.columns.filterNot(keys.contains).toSeq
+    val clash = leftOnly.toSet.intersect(rightPayload.map(prefix + _).toSet)
+    require(clash.isEmpty, s"prefixed right columns collide with left: $clash")
+    val payloadType = StructType(rightPayload.map(c => right.schema(c)))
+    val tieType = right.schema(tieCol).dataType
+    val lastType = StructType(Seq(StructField("_asof_us", LongType),
+      StructField("_asof_tie", tieType), StructField("_asof_r", payloadType)))
+    val kc = keys.map(col)
+    def us(c: Column) = unix_micros(c.cast("timestamp"))
+    val bucket = expr(s"_asof_us div ${bucketWidthUs}L")
+
+    // null-ts right rows are excluded exactly as in asofJoin
+    val r0 = right.where(col(tsCol).isNotNull)
+      .select(kc ++ Seq(us(col(tsCol)).as("_asof_us"),
+        col(tieCol).as("_asof_tie"),
+        struct(rightPayload.map(col): _*).as("_asof_r")): _*)
+      .withColumn("_asof_b", bucket)
+    val l0 = left
+      .select(kc ++ Seq(us(col(tsCol)).as("_asof_us")) ++ leftOnly.map(col): _*)
+      .withColumn("_asof_b", bucket)
+
+    // 1. one summary row per (key, right bucket)
+    val summ = r0.groupBy((keys :+ "_asof_b").map(col): _*)
+      .agg(max_by(struct(col("_asof_us"), col("_asof_tie"), col("_asof_r")),
+        struct(col("_asof_us"), col("_asof_tie"))).as("_asof_last"))
+
+    // 2. stitch: each left bucket reads the latest summary of any earlier
+    // bucket (summaries become available at b+1; ties order summaries
+    // before markers, and _avail values within a side are distinct per key)
+    val sTag = summ.select(kc ++ Seq((col("_asof_b") + 1).as("_avail"),
+      lit(0).as("_s"), col("_asof_last")): _*)
+    val mTag = l0.select((keys :+ "_asof_b").map(col): _*).distinct()
+      .select(kc ++ Seq(col("_asof_b").as("_avail"), lit(1).as("_s"),
+        lit(null).cast(lastType).as("_asof_last")): _*)
+    val stitchW = Window.partitionBy(kc: _*).orderBy(col("_avail"), col("_s"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val carry = sTag.unionByName(mTag)
+      .withColumn("_carry", last(col("_asof_last"), ignoreNulls = true).over(stitchW))
+      .where(col("_s") === 1 && col("_carry").isNotNull)
+      .select(kc ++ Seq(col("_avail").as("_asof_b"), col("_carry")): _*)
+
+    // 3. the asofJoin composition per (key, bucket), carry row injected
+    val nullLeft = leftOnly.map(c => lit(null).cast(left.schema(c).dataType).as(c))
+    val rightTagged = r0.select(
+      kc ++ Seq(col("_asof_b"), col("_asof_us"), lit(0).as("_asof_side"),
+        col("_asof_tie"), col("_asof_r")) ++ nullLeft: _*)
+    val carryTagged = carry.select(
+      kc ++ Seq(col("_asof_b"), col("_carry._asof_us").as("_asof_us"),
+        lit(0).as("_asof_side"), col("_carry._asof_tie").as("_asof_tie"),
+        col("_carry._asof_r").as("_asof_r")) ++ nullLeft: _*)
+    val leftTagged = l0.select(
+      kc ++ Seq(col("_asof_b"), col("_asof_us"), lit(1).as("_asof_side"),
+        lit(null).cast(tieType).as("_asof_tie"),
+        lit(null).cast(payloadType).as("_asof_r")) ++ leftOnly.map(col): _*)
+    val w = Window.partitionBy((keys :+ "_asof_b").map(col): _*)
+      .orderBy(col("_asof_us"), col("_asof_side"), col("_asof_tie"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+
+    rightTagged.unionByName(carryTagged).unionByName(leftTagged)
+      .withColumn("_asof_r", last(col("_asof_r"), ignoreNulls = true).over(w))
+      .where(col("_asof_side") === 1)
+      .select(kc ++ leftOnly.map(col) ++
         rightPayload.map(c => col(s"_asof_r.$c").as(prefix + c)): _*)
   }
 }

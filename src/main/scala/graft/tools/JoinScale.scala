@@ -27,7 +27,7 @@ object JoinScale {
         if (new java.io.File("/dev/shm").isDirectory) "/dev/shm/graft-spark"
         else System.getProperty("java.io.tmpdir"))
       .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.enabled", sys.env.getOrElse("SPARK_GRAFT_AQE", "true"))
       .config("spark.ui.enabled", "false")
       .config("spark.executor.heartbeatInterval", "60s")
       .config("spark.network.timeout", "600s")
@@ -75,9 +75,43 @@ object JoinScale {
       .select(col("event_id"), col("user_id"), col("ts"))
     val views = ev.where(col("event_type") === "view")
       .select(col("user_id"), col("ts"), col("event_id"))
+    // counting the MATCHED column forces the window (a bare count() lets
+    // column pruning delete the window operator entirely — round-4 finding;
+    // the round-3 asof_window readings measured only the shuffle)
+    def forced(df: org.apache.spark.sql.DataFrame): Long =
+      df.agg(count(col("matched_event_id"))).head().getLong(0)
     time("asof_window") {
-      AsOf.asofJoin(purchases, views, Seq("user_id"), "ts", "event_id").count()
+      forced(AsOf.asofJoin(purchases, views, Seq("user_id"), "ts", "event_id"))
     }
+    time("asof_bucketed") {
+      forced(AsOf.asofJoinBucketed(purchases, views, Seq("user_id"), "ts", "event_id",
+        bucketWidthUs = 6L * 3600L * 1000000L))
+    }
+    // hot-key as-of leg: every event on ONE user, replicated 400x with
+    // jittered ids/timestamps (~8M purchases + ~8M views on one key)
+    // — asofJoin funnels the whole history through one window-sort task;
+    // the bucketed variant splits it across (key, 6h-bucket) partitions
+    // with a tiny stitch frame
+    def blowUp(df: org.apache.spark.sql.DataFrame) = df
+      .withColumn("user_id", lit(0L))
+      .crossJoin(spark.range(400).select(col("id").as("rep")))
+      .select(
+        (col("event_id") * 400 + col("rep")).as("event_id"),
+        col("user_id"),
+        (col("ts").cast("timestamp") + make_dt_interval(lit(0), lit(0), lit(0),
+          col("rep") * 0.001)).as("ts"))
+    val hotP = blowUp(purchases).cache()
+    val hotV = blowUp(views).cache()
+    println(s"[joinscale] hot purchases=${hotP.count()} views=${hotV.count()}")
+    time("hot_asof_window") {
+      forced(AsOf.asofJoin(hotP, hotV, Seq("user_id"), "ts", "event_id"))
+    }
+    val hotBucketH = sys.env.getOrElse("SPARK_GRAFT_BUCKET_H", "6").toLong
+    time("hot_asof_bucketed") {
+      forced(AsOf.asofJoinBucketed(hotP, hotV, Seq("user_id"), "ts", "event_id",
+        bucketWidthUs = hotBucketH * 3600L * 1000000L))
+    }
+    hotP.unpersist(); hotV.unpersist()
     time("asof_join_argmax") {
       val l = purchases.select(col("user_id").as("luser"), col("event_id").as("lid"),
         unix_micros(col("ts").cast("timestamp")).as("lus"))

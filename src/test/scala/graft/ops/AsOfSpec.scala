@@ -84,6 +84,45 @@ class AsOfSpec extends AnyFunSuite with SparkTestBase {
     assert(row.isNullAt(row.fieldIndex("matched_v")))
   }
 
+  test("bucketed as-of equals asofJoin exactly (random widths, hot key, ties, nulls)") {
+    for ((seed, widthUs) <- Seq((5, 7L * 1000000L), (17, 13L * 1000000L), (29, 1000000L))) {
+      val rnd = new scala.util.Random(seed)
+      // key 0 is hot (most rows); dense equal-ts ties; null payloads and
+      // null-ts rows on both sides; widths of 1..13 buckets over the range
+      def key() = if (rnd.nextInt(4) > 0) 0L else rnd.nextInt(3).toLong
+      val left = Seq.tabulate(150)(i => (i.toLong, key(),
+        if (rnd.nextInt(20) == 0) None else Some(rnd.nextInt(60).toLong)))
+      val right = Seq.tabulate(180)(i => (1000L + i, key(),
+        if (rnd.nextInt(20) == 0) None else Some(rnd.nextInt(60).toLong),
+        if (rnd.nextBoolean()) Some(rnd.nextInt(100).toLong) else None))
+      val l = left.toDF("event_id", "k", "sec")
+        .withColumn("ts", timestamp_seconds(col("sec"))).drop("sec")
+      val r = right.toDF("event_id", "k", "sec", "v")
+        .withColumn("ts", timestamp_seconds(col("sec"))).drop("sec")
+        .select(col("k"), col("ts"), col("event_id"), col("v"))
+      def rows(df: org.apache.spark.sql.DataFrame) = df
+        .select("event_id", "matched_event_id", "matched_v", "matched_ts").collect()
+        .map(row => (row.getLong(0),
+          if (row.isNullAt(1)) null else row.getLong(1),
+          if (row.isNullAt(2)) null else row.getLong(2),
+          if (row.isNullAt(3)) null else row.getTimestamp(3))).toSet
+      val base = rows(AsOf.asofJoin(l, r, Seq("k"), "ts", "event_id"))
+      val bucketed = rows(AsOf.asofJoinBucketed(l, r, Seq("k"), "ts", "event_id", widthUs))
+      assert(bucketed == base, s"seed=$seed width=$widthUs")
+    }
+  }
+
+  test("bucketed as-of plan has no join operator") {
+    val l = Seq((1L, 1L, 5L)).toDF("id", "k", "sec")
+      .withColumn("ts", timestamp_seconds(col("sec"))).drop("sec")
+    val r = Seq((7L, 1L, 4L)).toDF("event_id", "k", "sec")
+      .withColumn("ts", timestamp_seconds(col("sec"))).drop("sec")
+      .select(col("k"), col("ts"), col("event_id"))
+    val plan = AsOf.asofJoinBucketed(l, r, Seq("k"), "ts", "event_id", 1000000L)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Join"), plan)
+  }
+
   test("plan is window-based: no join operator, one exchange") {
     val l = Seq((1L, 1L, 5L)).toDF("id", "k", "ts")
     val r = Seq((7L, 1L, 4L)).toDF("event_id", "k", "ts")
