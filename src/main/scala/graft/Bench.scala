@@ -274,7 +274,14 @@ object Bench {
         il +
         s""""operator_cpus${lo.cpus}":${opLow.round},""" +
         s""""operator_cpus$cpus":${opHigh.round},""" +
-        f""""operator_efficiency":$opEff%.3f},"""
+        f""""operator_efficiency":$opEff%.3f,""" +
+        // the one number to read (round-3 verdict #6): the interleaved
+        // operator legs are the only pair immune to the minutes-scale
+        // host-steal drift AND free of I/O confounds — the other two are
+        // samples whose max is the capability (BASELINE.md)
+        s""""scaling_authoritative":"operator_efficiency",""" +
+        s""""scaling_authoritative_reason":"interleaved A/B x3 seconds apart""" +
+        s""" in one session; cross-session legs drift with host steal"},"""
     }.getOrElse("")
     println(
       s"""{"metric":"er_pipeline_total","value":$total,"unit":"sec","queries":$qs,""" +
