@@ -216,6 +216,95 @@ object EventStream {
       }
   }
 
+  final case class IntervalPair(user_id: Long, id_a: Long, id_b: Long, gap_us: Long)
+  /** Per-user interval-join state: the events still inside the pairing
+    * horizon, as parallel primitive arrays (skinny, encoder-friendly;
+    * MICROsecond timestamps for the same reason as [[LastRight]]). */
+  final case class RecentEvents(tsUs: Array[Long], ids: Array[Long])
+
+  /** Streaming twin of [[graft.ops.RangeJoin.withinInterval]] (single
+    * key column): emits every same-user pair of events within `widthUs`
+    * microseconds of each other, oriented id_a < id_b with signed
+    * gap_us = ts(id_b) - ts(id_a), each pair exactly once (when its
+    * later-arriving member is processed).
+    *
+    * State is bounded by TIME, not stream length: rows below the
+    * watermark never reach the operator, so any pair still completable
+    * has both members at-or-above `watermark - width` — retained events
+    * below that floor are pruned every batch (`getCurrentWatermarkMs`),
+    * and an idle key's whole buffer is evicted by event-time timeout.
+    * Within that guarantee the output row set EQUALS the batch operator
+    * on the same input (spec-pinned, single- and cross-batch): late
+    * arrivals INSIDE the watermark pair exactly; rows dropped by the
+    * watermark degrade conservatively (their pairs are simply absent),
+    * mirroring [[asofEnrichStreaming]]'s no-leak contract. Null-ts rows
+    * are excluded exactly like the batch twin (a null time cell joins
+    * nothing). `maxBuffer` is the hot-key guard — the [[graft.ops.RangeJoin]]
+    * `maxCellSize` analog: a key whose horizon holds more events drops
+    * its OLDEST entries first (bounded memory, observable as missing
+    * oldest-partner pairs). */
+  def intervalPairsStreaming(events: Dataset[Event], widthUs: Long,
+                             watermark: String = "10 minutes",
+                             idleTtlSeconds: Long = 86400,
+                             maxBuffer: Int = 4096): Dataset[IntervalPair] = {
+    require(widthUs > 0, "widthUs must be positive")
+    val spark = events.sparkSession
+    import spark.implicits._
+    events.withWatermark("ts", watermark)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[RecentEvents, IntervalPair](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (userId: Long, it: Iterator[Event], state: GroupState[RecentEvents]) =>
+          if (!it.hasNext && state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            val evs = it.filter(_.ts != null).toArray
+              .sortBy(e => (toUs(e.ts), e.event_id))
+            val floorUs = state.getCurrentWatermarkMs() * 1000L - widthUs
+            val ts = scala.collection.mutable.ArrayBuffer.empty[Long]
+            val ids = scala.collection.mutable.ArrayBuffer.empty[Long]
+            state.getOption.foreach { b =>
+              var i = 0
+              while (i < b.tsUs.length) {
+                if (b.tsUs(i) >= floorUs) { ts += b.tsUs(i); ids += b.ids(i) }
+                i += 1
+              }
+            }
+            val out = List.newBuilder[IntervalPair]
+            var maxUs = Long.MinValue
+            evs.foreach { e =>
+              val us = toUs(e.ts)
+              maxUs = math.max(maxUs, us)
+              var i = 0
+              while (i < ts.length) {
+                if (math.abs(us - ts(i)) <= widthUs && ids(i) != e.event_id) {
+                  out += (if (ids(i) < e.event_id)
+                    IntervalPair(userId, ids(i), e.event_id, us - ts(i))
+                  else
+                    IntervalPair(userId, e.event_id, ids(i), ts(i) - us))
+                }
+                i += 1
+              }
+              ts += us; ids += e.event_id
+              if (ts.length > maxBuffer) {
+                // evict the true oldest (the buffer is per-batch sorted
+                // but cross-batch append-ordered)
+                var mi = 0; var j = 1
+                while (j < ts.length) { if (ts(j) < ts(mi)) mi = j; j += 1 }
+                ts.remove(mi); ids.remove(mi)
+              }
+            }
+            if (ts.nonEmpty) {
+              state.update(RecentEvents(ts.toArray, ids.toArray))
+              val horizon = math.max(maxUs, ts.max)
+              state.setTimeoutTimestamp(horizon / 1000 + idleTtlSeconds * 1000)
+            } else state.remove()
+            out.result().iterator
+          }
+      }
+  }
+
   /** Exact dedup by key: one survivor per `keyCol`. Streaming: the first
     * arrival within the watermark horizon — state is one row per key and
     * is EVICTED once the watermark passes (bounded, unlike a plain

@@ -139,6 +139,64 @@ class EventStreamSpec extends AnyFunSuite with SparkTestBase {
     assert(rows(3L).contains(1L), "in-order left must match state from the prior batch")
   }
 
+  test("streaming interval pairs match the batch RangeJoin on the events table") {
+    val dir = java.nio.file.Files.createTempDirectory("ivl-stream").toString
+    spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+      .select(col("event_id"), col("ts").cast("timestamp").as("ts"),
+        col("user_id"), col("event_type"), col("value"))
+      .write.mode("overwrite").parquet(dir)
+    val widthUs = 1800L * 1000000L
+    val src = spark.readStream.schema(spark.read.parquet(dir).schema)
+      .parquet(dir).as[EventStream.Event]
+    val q = EventStream.intervalPairsStreaming(src, widthUs)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("ivl_stream")
+      .trigger(Trigger.AvailableNow()).start()
+    assert(q.awaitTermination(120000), "streaming query did not finish in time")
+    val streamed = spark.table("ivl_stream")
+      .select("user_id", "id_a", "id_b", "gap_us")
+    val batch = graft.ops.RangeJoin.withinInterval(
+        spark.read.parquet(dir), Seq("user_id"), "ts", "event_id", widthUs)
+      .select("user_id", "id_a", "id_b", "gap_us")
+    val extra = streamed.exceptAll(batch).collect()
+    val missing = batch.exceptAll(streamed).collect()
+    assert(extra.isEmpty && missing.isEmpty,
+      s"stream-only=${extra.take(5).mkString(";")} batch-only=${missing.take(5).mkString(";")}")
+    assert(streamed.count() > 0)
+  }
+
+  test("interval pairs across micro-batches: in-horizon partners pair, each pair once") {
+    val dir = java.nio.file.Files.createTempDirectory("ivl-mb").toString
+    def write(name: String, rows: Seq[(Long, Long, Long)], mtime: Long): Unit = {
+      val p = s"$dir/$name"
+      rows.map { case (id, sec, user) => (id, ts(sec), user, "e", 0.0) }
+        .toDF("event_id", "ts", "user_id", "event_type", "value")
+        .coalesce(1).write.mode("overwrite").parquet(p)
+      new java.io.File(p).listFiles().foreach(_.setLastModified(mtime))
+    }
+    // width 100s. batch 1: events at 10000 and 10050 (pair within batch);
+    // batch 2: event at 10120 (pairs with 10050 across batches, not with
+    // 10000) plus a second user's lone event. Times sit well above epoch
+    // 0: a row AT the initial watermark (ts = 0) is dropped by the
+    // stateful operator's late filter — the epoch-0 corner, not state
+    write("b1", Seq((1L, 10000L, 7L), (2L, 10050L, 7L)), 1000000L)
+    write("b2", Seq((3L, 10120L, 7L), (9L, 10060L, 8L)), 2000000L)
+    val src = spark.readStream.schema(spark.read.parquet(s"$dir/b1").schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(s"$dir/*").as[EventStream.Event]
+    val q = EventStream.intervalPairsStreaming(src, widthUs = 100L * 1000000L)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("ivl_mb")
+      .trigger(Trigger.AvailableNow()).start()
+    assert(q.awaitTermination(120000), "streaming query did not finish in time")
+    assert(q.recentProgress.count(_.numInputRows > 0) >= 2, "expected >= 2 micro-batches")
+    val got = spark.table("ivl_mb").collect()
+      .map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"), r.getAs[Long]("gap_us")))
+      .toSeq.sorted
+    assert(got == Seq((1L, 2L, 50000000L), (2L, 3L, 70000000L)),
+      s"expected the in-batch and cross-batch pairs exactly once: $got")
+  }
+
   test("streaming dedup keeps first occurrence per key; state bounded by watermark") {
     val dir = java.nio.file.Files.createTempDirectory("dedup-stream").toString
     val base = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
