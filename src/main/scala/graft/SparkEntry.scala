@@ -439,6 +439,32 @@ object SparkEntry {
         .orderBy("event_id")
     }),
 
+    "q17_asof_bucketed" -> ((s, dir) => {
+      // the hot-key as-of variant (AsOf.asofJoinBucketed, round 4) on the
+      // q11 workload with 6h buckets: same independent LATERAL oracle as
+      // q11 — the equality spec pins bucketed == asofJoin on random data,
+      // and this gates it value-level against DuckDB on real tables
+      val ev = table(s, dir, "events")
+      val purchases = ev.where(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val views = ev.where(col("event_type") === "view")
+        .select(col("user_id"), col("ts"), col("event_id"))
+      AsOf.asofJoinBucketed(purchases, views, Seq("user_id"), "ts", "event_id",
+          bucketWidthUs = 6L * 3600L * 1000000L)
+        .select(col("event_id"), col("user_id"), col("matched_event_id"),
+          (unix_micros(col("ts").cast("timestamp")) -
+            unix_micros(col("matched_ts").cast("timestamp"))).as("lag_us"))
+        .orderBy("event_id")
+    }),
+
+    "q18_interval_dropped" -> ((s, dir) => {
+      // dropped-mass lineage of the interval join's hot-cell cap, with a
+      // BINDING cap (2) so the lineage path is exercised on real data
+      // (the q12 production cap of 64 drops nothing at current sf)
+      RangeJoin.droppedStats(table(s, dir, "events"), Seq("user_id"),
+        "ts", "event_id", widthUs = 1800L * 1000000L, maxCellSize = 2)
+    }),
+
     "q13_rollup" -> ((s, dir) => {
       // hierarchical super-aggregates via the rollup operator (Catalyst
       // Expand); Spark's default asc = nulls-first, mirrored explicitly
@@ -791,6 +817,29 @@ object SparkEntry {
         |  ORDER BY r.ts DESC, r.event_id DESC LIMIT 1) r ON true
         |WHERE l.event_type = 'purchase'
         |ORDER BY l.event_id""".stripMargin,
+    "q17_asof_bucketed" ->
+      // identical spec to q11: the bucketed variant must produce the very
+      // same as-of result (boundary stitching is an implementation detail)
+      """SELECT l.event_id, l.user_id, r.event_id AS matched_event_id,
+        |  epoch_us(l.ts) - epoch_us(r.ts) AS lag_us
+        |FROM events l
+        |LEFT JOIN LATERAL (
+        |  SELECT event_id, ts FROM events r
+        |  WHERE r.event_type = 'view' AND r.user_id = l.user_id
+        |    AND r.ts <= l.ts
+        |  ORDER BY r.ts DESC, r.event_id DESC LIMIT 1) r ON true
+        |WHERE l.event_type = 'purchase'
+        |ORDER BY l.event_id""".stripMargin,
+    "q18_interval_dropped" ->
+      // the q12 cell CTE with a binding cap of 2; coalesce keeps the
+      // empty-overflow case well-defined (the Buckets.droppedStats shape)
+      """WITH ev AS (
+        |  SELECT user_id, epoch_us(ts) // 1800000000 AS cell FROM events),
+        |csz AS (SELECT user_id, cell, count(*) AS gsz FROM ev GROUP BY 1, 2),
+        |over_cap AS (SELECT gsz FROM csz WHERE gsz > 2)
+        |SELECT CAST(coalesce(count(*), 0) AS BIGINT) AS n_groups_dropped,
+        |  CAST(coalesce(sum(gsz), 0) AS BIGINT) AS n_rows_dropped
+        |FROM over_cap""".stripMargin,
     "samp02_quota" ->
       // ORDER BY h compares UBIGINT (unsigned) — the Spark side flips the
       // sign bit so its signed sort realizes the same order
