@@ -740,6 +740,38 @@ object SparkEntry {
           table(s, dir, "documents").select(col("doc_id"), col("text")), "text")
         .orderBy("doc_id")
     }),
+    "txt06_redact" -> ((s, dir) => {
+      // PII scrubbing (C4/CCNet-style): the synthetic corpus has no real
+      // PII, so deterministic emails/URLs are planted first (the erInput
+      // pattern, mirrored in the oracle CTE) — doc_id % 7 gets an email,
+      // doc_id % 11 a URL, %77 both — making counts and replacement
+      // genuinely non-trivial
+      val d = table(s, dir, "documents")
+      val planted = d.select(col("doc_id").as("id"),
+        concat(col("text"),
+          when(col("doc_id") % 7 === 0,
+            concat(lit(" contact user"), col("doc_id").cast("string"),
+              lit("@example.com"))).otherwise(lit("")),
+          when(col("doc_id") % 11 === 0,
+            concat(lit(" see https://example.org/d"),
+              col("doc_id").cast("string"))).otherwise(lit(""))).as("content"))
+      TextAnalysis.redact(planted)
+        .select(col("id"), col("n_emails"), col("n_urls"),
+          md5(col("redacted")).as("redacted_md5"))
+        .orderBy("id")
+    }),
+    "dd07_decontam" -> ((s, dir) => {
+      // benchmark decontamination: erInput's planted near-dup copies
+      // (id + 1000000, 7 chars trimmed) share nearly all their rare
+      // 3-grams with the originals, so using every 5th document as the
+      // "benchmark" set guarantees true contamination hits; stop-grams
+      // (combined df > 20) are removed map-side before the join
+      val train = erInput(s, dir).select(col("id"), col("content"))
+      val bench = table(s, dir, "documents").where(col("doc_id") % 5 === 0)
+        .select(col("doc_id").as("id"), col("text").as("content"))
+      Dedup.ngramContamination(train, bench, n = 3, minShared = 3, maxGramDf = 20)
+        .orderBy("train_id", "bench_id")
+    }),
     "txt04_fingerprint" -> ((s, dir) => {
       table(s, dir, "documents")
         .select(col("doc_id"), TextAnalysis.fingerprint(col("text")).as("fp"))
@@ -1324,6 +1356,57 @@ object SparkEntry {
     "txt04_fingerprint" ->
       """SELECT doc_id, md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS fp
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "txt06_redact" ->
+      // the planted-PII CTE mirrors the Spark side exactly; counts on the
+      // original text, sequential replace (emails then URLs, 'g' flag —
+      // Spark's regexp_replace is global by default)
+      """WITH planted AS (
+        |  SELECT doc_id AS id,
+        |    text ||
+        |    CASE WHEN doc_id % 7 = 0
+        |         THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com'
+        |         ELSE '' END ||
+        |    CASE WHEN doc_id % 11 = 0
+        |         THEN ' see https://example.org/d' || CAST(doc_id AS VARCHAR)
+        |         ELSE '' END AS content
+        |  FROM documents)
+        |SELECT id,
+        |  CAST(len(regexp_extract_all(content,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,
+        |  CAST(len(regexp_extract_all(content, 'https?://[^ ]+')) AS BIGINT) AS n_urls,
+        |  md5(regexp_replace(
+        |    regexp_replace(content,
+        |      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |    'https?://[^ ]+', '<URL>', 'g')) AS redacted_md5
+        |FROM planted ORDER BY id""".stripMargin,
+    "dd07_decontam" ->
+      // 3-gram builder = the dd02 shape at n=3: DuckDB range() is
+      // end-exclusive and list_slice end-inclusive, so range(1, len-1) x
+      // slice(i, i+2) == Spark sequence(1, size-2) x slice(i, 3)
+      s"""$ErCorpusCte,
+         |bench AS (SELECT doc_id AS id, text AS content FROM documents
+         |          WHERE doc_id % 5 = 0),
+         |tg AS (
+         |  SELECT DISTINCT id, g AS gram FROM (
+         |    SELECT id, array_to_string(
+         |      list_slice(string_split(content, ' '), i, i + 2), ' ') AS g
+         |    FROM corpus, unnest(range(1, len(string_split(content, ' ')) - 1)) AS t(i))),
+         |bg AS (
+         |  SELECT DISTINCT id, g AS gram FROM (
+         |    SELECT id, array_to_string(
+         |      list_slice(string_split(content, ' '), i, i + 2), ' ') AS g
+         |    FROM bench, unnest(range(1, len(string_split(content, ' ')) - 1)) AS t(i))),
+         |rare AS (
+         |  SELECT gram FROM (
+         |    SELECT gram, count(*) AS gdf FROM (
+         |      SELECT id, gram FROM tg UNION ALL SELECT id, gram FROM bg)
+         |    GROUP BY 1) WHERE gdf <= 20)
+         |SELECT t.id AS train_id, b.id AS bench_id,
+         |  CAST(count(*) AS BIGINT) AS shared_grams
+         |FROM tg t JOIN rare USING (gram) JOIN bg b USING (gram)
+         |WHERE t.id <> b.id
+         |GROUP BY 1, 2 HAVING count(*) >= 3
+         |ORDER BY 1, 2""".stripMargin,
     "txt05_repetition" ->
       // DuckDB range() is end-exclusive (Spark sequence is inclusive) and
       // list_slice's end is inclusive: range(1, len-1) x slice(i, i+2)

@@ -110,6 +110,44 @@ object Dedup {
           (col("na") + col("nb") - coalesce(col("inter"), lit(0L)))).as("jaccard"))
   }
 
+  /** Benchmark decontamination: training docs that share at least
+    * `minShared` distinct RARE word n-grams with a benchmark document —
+    * the eval-leakage scrub every LLM training pipeline runs before a
+    * model sees the corpus. Grams are the [[ngramJaccard]] shingles;
+    * "rare" means combined document frequency (train + bench) at most
+    * `maxGramDf`. The frequency gate is BOTH the signal and the scale
+    * discipline: a stop-gram ("of the and") carries no contamination
+    * evidence AND would join every training doc to every benchmark doc —
+    * the same quadratic hot-key pathology [[Buckets]] caps, here removed
+    * by a map-side-combinable groupBy instead of a cap because common
+    * grams are semantically worthless, not just expensive.
+    * @return (train_id, bench_id, shared_grams) with
+    *         shared_grams >= minShared, self-pairs excluded */
+  def ngramContamination(train: DataFrame, bench: DataFrame, n: Int = 3,
+                         minShared: Int = 2, maxGramDf: Int = 100): DataFrame = {
+    require(n >= 1 && minShared >= 1 && maxGramDf >= 2)
+    def gramsOf(df: DataFrame): DataFrame = {
+      val words = split(col("content"), " ")
+      val grams0 = when(size(words) >= n,
+        transform(sequence(lit(1), size(words) - n + 1),
+          i => array_join(slice(words, i, lit(n)), " "))
+      ).otherwise(array())
+      df.select(col("id"), explode(grams0).as("gram")).distinct()
+    }
+    val tg = gramsOf(train)
+    val bg = gramsOf(bench)
+    val rare = tg.unionAll(bg)
+      .groupBy("gram").agg(count(lit(1)).as("gdf"))
+      .where(col("gdf") <= maxGramDf)
+      .select("gram")
+    tg.join(rare, "gram")
+      .join(bg.withColumnRenamed("id", "bench_id"), "gram")
+      .where(col("id") =!= col("bench_id"))
+      .groupBy(col("id").as("train_id"), col("bench_id"))
+      .agg(count(lit(1)).as("shared_grams"))
+      .where(col("shared_grams") >= minShared)
+  }
+
   /** Materialize the dedup: one survivor (the minimum id) per connected
     * component of the near-dup pair graph, singletons kept. Composes the
     * ER clustering (large-star/small-star CC — O(log n) shuffle-bounded

@@ -91,6 +91,31 @@ object TextAnalysis {
     }
   }
 
+  /** Email/URL patterns for [[redact]]: kept inside the dialect
+    * intersection of Java regex (Spark codegen) and RE2 (DuckDB), so the
+    * oracle mirrors match-for-match. Both engines count/replace
+    * NON-OVERLAPPING matches left to right. */
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val UrlRe = "https?://[^ ]+"
+
+  /** PII-style scrubbing for training corpora: counts and redacts email
+    * addresses and URLs (the C4/CCNet-style cleanup step). Counts are
+    * taken on the ORIGINAL text; redaction is sequential (emails first,
+    * then URLs). Pure codegen'd regexp built-ins — per-row map-side work,
+    * no UDF, SQL-mirrorable.
+    * @return input columns (minus content) + n_emails, n_urls, redacted */
+  def redact(docs: DataFrame, contentCol: String = "content"): DataFrame = {
+    val c = col(contentCol)
+    docs
+      .withColumn("n_emails",
+        size(regexp_extract_all(c, lit(EmailRe), lit(0))).cast("long"))
+      .withColumn("n_urls",
+        size(regexp_extract_all(c, lit(UrlRe), lit(0))).cast("long"))
+      .withColumn("redacted",
+        regexp_replace(regexp_replace(c, EmailRe, "<EMAIL>"), UrlRe, "<URL>"))
+      .drop(contentCol)
+  }
+
   /** Content fingerprint: md5 of whitespace-normalized lowercase text
     * (near-dup-stable normalization + hash; SQL-mirrorable). */
   def fingerprint(text: Column): Column =

@@ -265,6 +265,39 @@ class OpsSpec extends AnyFunSuite with SparkTestBase {
     assert(out(3L) == ((6L, 2L, 4.0 / 6)))
   }
 
+  test("redact: counts on original text, sequential email-then-URL replacement") {
+    val d = Seq(
+      (0L, "write to a.b+c@ex-1.org or ops@x.io today"),
+      (1L, "docs at https://ex.org/a?b=1 and http://y.z/p"),
+      (2L, "mixed bob@ex.com see https://ex.org/d"),
+      (3L, "nothing to scrub here")).toDF("id", "content")
+    val out = TextAnalysis.redact(d).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getString(3))).toMap
+    assert(out(0L) == ((2L, 0L, "write to <EMAIL> or <EMAIL> today")))
+    assert(out(1L) == ((0L, 2L, "docs at <URL> and <URL>")))
+    assert(out(2L) == ((1L, 1L, "mixed <EMAIL> see <URL>")))
+    assert(out(3L) == ((0L, 0L, "nothing to scrub here")))
+  }
+
+  test("ngram contamination: planted copy hits its benchmark source; stop-grams are inert") {
+    // bench doc 100 == train doc 0's text; train doc 1 shares only the
+    // ubiquitous stop-gram (present in every doc -> filtered by maxGramDf)
+    val stop = "the of and"
+    val train = Seq(
+      (0L, s"alpha beta gamma delta epsilon zeta $stop"),
+      (1L, s"totally different content entirely here now $stop"),
+      (2L, s"alpha beta gamma other words here $stop")).toDF("id", "content")
+    val bench = Seq(
+      (100L, s"alpha beta gamma delta epsilon zeta $stop")).toDF("id", "content")
+    val out = Dedup.ngramContamination(train, bench, n = 3, minShared = 2, maxGramDf = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(out.contains((0L, 100L)), s"full copy must be flagged: $out")
+    assert(out((0L, 100L)) >= 4) // many shared rare 3-grams
+    assert(!out.keys.exists(_._1 == 1L), s"stop-gram-only overlap must not flag: $out")
+    // doc 2 shares exactly one rare gram ("alpha beta gamma") < minShared
+    assert(!out.keys.exists(_._1 == 2L), s"single shared gram under minShared: $out")
+  }
+
   test("rolling fingerprint is deterministic and content-sensitive") {
     val a = TextAnalysis.rollingFingerprint("one two three")
     assert(a == TextAnalysis.rollingFingerprint("one two three"))
