@@ -772,6 +772,15 @@ object SparkEntry {
       Dedup.ngramContamination(train, bench, n = 3, minShared = 3, maxGramDf = 20)
         .orderBy("train_id", "bench_id")
     }),
+    "pack01_chunks" -> ((s, dir) => {
+      // token-level sequence packing: 8 hash shards, 256-token chunks —
+      // every document's landing position in the packed training stream,
+      // value-level oracle via the splitmix twin + a cumsum window
+      TextAnalysis.packChunks(
+        table(s, dir, "documents").select(col("doc_id"), col("text")),
+        "doc_id", "text", chunkTokens = 256, shards = 8)
+        .orderBy("id")
+    }),
     "txt04_fingerprint" -> ((s, dir) => {
       table(s, dir, "documents")
         .select(col("doc_id"), TextAnalysis.fingerprint(col("text")).as("fp"))
@@ -1356,6 +1365,28 @@ object SparkEntry {
     "txt04_fingerprint" ->
       """SELECT doc_id, md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS fp
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "pack01_chunks" ->
+      // subword expr = txt03's; shard mask 7 on a power of two agrees
+      // signed/unsigned (samp01); windowed sum(BIGINT) is HUGEINT in
+      // DuckDB -> CAST (the q06 trap); `//` floors on the non-negative
+      // stream positions exactly like Spark's `div`
+      s"""WITH g AS (
+         |  SELECT doc_id AS id,
+         |    CAST(list_sum(list_transform(regexp_split_to_array(trim(text), ' +'),
+         |         w -> CAST(ceil(length(w) / 4.0) AS BIGINT))) AS BIGINT) AS n_tokens,
+         |    ${DuckHash.splitmixCols(
+               "xor(CAST(doc_id AS UBIGINT), CAST(42 AS UBIGINT))", "pk")} AS h
+         |  FROM documents),
+         |t AS (SELECT id, n_tokens, CAST((h & 7) AS BIGINT) AS shard FROM g),
+         |c AS (
+         |  SELECT id, shard, n_tokens,
+         |    CAST(sum(n_tokens) OVER (PARTITION BY shard ORDER BY id
+         |         ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+         |  FROM t WHERE n_tokens > 0)
+         |SELECT id, shard, n_tokens, cum - n_tokens AS start_tok,
+         |  (cum - n_tokens) // 256 AS first_chunk,
+         |  (cum - 1) // 256 AS last_chunk
+         |FROM c ORDER BY id""".stripMargin,
     "txt06_redact" ->
       // the planted-PII CTE mirrors the Spark side exactly; counts on the
       // original text, sequential replace (emails then URLs, 'g' flag —

@@ -2,6 +2,7 @@ package graft.ops
 
 import graft.core.Hashing
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Text-analysis operators for training-data curation, all expressed with
@@ -114,6 +115,45 @@ object TextAnalysis {
       .withColumn("redacted",
         regexp_replace(regexp_replace(c, EmailRe, "<EMAIL>"), UrlRe, "<URL>"))
       .drop(contentCol)
+  }
+
+  /** Token-level sequence packing (the GPT-style pretraining prep step):
+    * documents are deterministically hash-sharded, concatenated within
+    * each shard in id order, and the token stream is cut every
+    * `chunkTokens` tokens — chunks straddle document boundaries by
+    * design. Emits, per document, where its tokens land:
+    * (id, shard, n_tokens, start_tok, first_chunk, last_chunk).
+    *
+    * Scale shape: packing is inherently a sequential fold over the
+    * concat order, so parallelism comes from sharding — ONE shuffle by
+    * shard, then a per-shard running-sum window; pick `shards` at 2-4x
+    * total cores and hash-sharding keeps them balanced (each task holds
+    * ~corpus/shards rows — this mirrors how per-worker packing runs in
+    * production loaders). Deterministic like [[Sampling.stratified]]:
+    * shard and order are pure functions of the id, so the chunk layout
+    * is stable under repartitioning and re-runs, and `shards` must be a
+    * power of two so the mask agrees under signed and unsigned hash
+    * interpretation (the samp01 convention). Tokens are
+    * [[subwordCount]]'s deterministic ~4-chars/token stand-in; zero-token
+    * documents are excluded (they occupy no stream positions). Requires
+    * `splitmix64` on the session ([[graft.expr.GraftExtensions]]). */
+  def packChunks(docs: DataFrame, idCol: String, contentCol: String,
+                 chunkTokens: Int, shards: Int, seed: Long = 42L): DataFrame = {
+    require(chunkTokens > 0, "chunkTokens must be positive")
+    require(shards > 0 && (shards & (shards - 1)) == 0, "shards must be a power of two")
+    val shard = graft.expr.functions
+      .splitmix64(col(idCol).cast("long").bitwiseXOR(lit(seed)))
+      .bitwiseAND(lit(shards - 1L))
+    val w = Window.partitionBy("shard").orderBy("id")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    docs.select(col(idCol).as("id"), shard.as("shard"),
+        subwordCount(col(contentCol)).as("n_tokens"))
+      .where(col("n_tokens") > 0)
+      .withColumn("cum", sum("n_tokens").over(w))
+      .select(col("id"), col("shard"), col("n_tokens"),
+        (col("cum") - col("n_tokens")).as("start_tok"),
+        expr(s"(cum - n_tokens) div ${chunkTokens}L").as("first_chunk"),
+        expr(s"(cum - 1) div ${chunkTokens}L").as("last_chunk"))
   }
 
   /** Content fingerprint: md5 of whitespace-normalized lowercase text

@@ -298,6 +298,38 @@ class OpsSpec extends AnyFunSuite with SparkTestBase {
     assert(!out.keys.exists(_._1 == 2L), s"single shared gram under minShared: $out")
   }
 
+  test("packChunks: concat-and-chunk positions match a sequential reference; partition-invariant") {
+    // doc i has (i % 5 + 1) four-char words -> exactly i % 5 + 1 subwords
+    val rows = (0L until 60L).map(i =>
+      (i, Seq.fill((i % 5 + 1).toInt)("abcd").mkString(" ")))
+    val df = rows.toDF("doc_id", "content")
+    val chunk = 7
+    val shards = 4
+    def run(d: org.apache.spark.sql.DataFrame) =
+      TextAnalysis.packChunks(d, "doc_id", "content", chunk, shards)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getLong(3), r.getLong(4), r.getLong(5))).sortBy(_._1).toSeq
+    val got = run(df)
+    // sequential reference: shard by the same hash, accumulate in id order
+    val expected = rows
+      .map { case (i, _) => (i, graft.core.Hashing.splitmix64(i ^ 42L) & (shards - 1L),
+        i % 5 + 1) }
+      .groupBy(_._2).values.flatMap { g =>
+        var cum = 0L
+        g.sortBy(_._1).map { case (id, sh, tok) =>
+          val start = cum; cum += tok
+          (id, sh, tok, start, start / chunk, (cum - 1) / chunk)
+        }
+      }.toSeq.sortBy(_._1)
+    assert(got == expected)
+    assert(run(df.repartition(7)) == got, "layout must be partition-invariant")
+    // chunks straddle doc boundaries: some doc must span two chunks
+    assert(got.exists(r => r._6 > r._5), "with chunk=7 and 1-5 token docs, straddling must occur")
+    // zero-token docs are excluded
+    val withEmpty = (rows :+ (999L, "   ")).toDF("doc_id", "content")
+    assert(run(withEmpty).map(_._1).toSet == rows.map(_._1).toSet)
+  }
+
   test("rolling fingerprint is deterministic and content-sensitive") {
     val a = TextAnalysis.rollingFingerprint("one two three")
     assert(a == TextAnalysis.rollingFingerprint("one two three"))
