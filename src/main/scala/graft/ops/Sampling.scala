@@ -57,7 +57,7 @@ object Sampling {
     * diverges. Integral types are the ones where the cast is guaranteed
     * lossless for every value; a null id still raises explicitly rather
     * than hashing to null. */
-  private def requireHashableId(df: DataFrame, idCol: String): Unit = {
+  private[ops] def requireHashableId(df: DataFrame, idCol: String): Unit = {
     import org.apache.spark.sql.types._
     val dt = df.schema(idCol).dataType
     require(Seq(LongType, IntegerType, ShortType, ByteType).contains(dt),

@@ -141,6 +141,7 @@ object TextAnalysis {
                  chunkTokens: Int, shards: Int, seed: Long = 42L): DataFrame = {
     require(chunkTokens > 0, "chunkTokens must be positive")
     require(shards > 0 && (shards & (shards - 1)) == 0, "shards must be a power of two")
+    Sampling.requireHashableId(docs, idCol) // fail fast, not ANSI-throw mid-job
     val shard = graft.expr.functions
       .splitmix64(col(idCol).cast("long").bitwiseXOR(lit(seed)))
       .bitwiseAND(lit(shards - 1L))

@@ -17,7 +17,8 @@ object PlanCheck {
       "q11_asof_join", "q12_interval_join", "q13_rollup", "q14_pivot",
       "samp01_stratified", "samp02_quota", "txt05_repetition",
       "ann04_kmeans", "ann05_ivf_trained",
-      "q16_cube", "q17_asof_bucketed", "q18_interval_dropped")) {
+      "q16_cube", "q17_asof_bucketed", "q18_interval_dropped",
+      "txt06_redact", "dd07_decontam", "pack01_chunks")) {
       println(s"===== $q")
       val df = graft.SparkEntry.queries(q)(spark, dir)
       df.collect()
