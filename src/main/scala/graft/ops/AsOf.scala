@@ -99,7 +99,10 @@ object AsOf {
     * (microsecond ordering — exact for timestamp inputs); pick
     * `bucketWidthUs` so a hot key's per-bucket density is task-sized.
     * Default stays [[asofJoin]]: at benign skew one shuffle beats three
-    * small ones (measured, graft.tools.JoinScale — quote the asymmetry). */
+    * small ones (measured, graft.tools.JoinScale — quote the asymmetry).
+    * Note the composition reads each input twice (summaries/markers +
+    * tagged rows — four pruned scans vs asofJoin's two); for expensive
+    * upstream inputs, persist before calling. */
   def asofJoinBucketed(left: DataFrame, right: DataFrame, keys: Seq[String],
                        tsCol: String, tieCol: String, bucketWidthUs: Long,
                        prefix: String = "matched_"): DataFrame = {
