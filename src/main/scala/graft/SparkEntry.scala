@@ -1108,13 +1108,18 @@ object SparkEntry {
       // while DuckDB's TRY_CAST ROUNDS numerics ('1.5' -> 2) — a bare
       // TRY_CAST twin would diverge in VALUES, not nulls, on a future sf
       // with float-valued k (round-3 advice)
-      """WITH k AS (
+      """WITH raw AS (
+        |  -- Spark's try_cast trims ALL chars <= 0x20 (UTF8String.trimAll),
+        |  -- not just spaces like DuckDB's trim(): strip the same set
         |  SELECT event_type,
-        |    CASE WHEN regexp_matches(trim(json_extract_string(props, '$.k')),
-        |                             '^[+-]?[0-9]+$')
-        |         THEN TRY_CAST(trim(json_extract_string(props, '$.k')) AS BIGINT)
-        |         END AS k
-        |  FROM events)
+        |    regexp_replace(json_extract_string(props, '$.k'),
+        |                   '^[\x00-\x20]+|[\x00-\x20]+$', '', 'g') AS ks
+        |  FROM events),
+        |k AS (
+        |  SELECT event_type,
+        |    CASE WHEN regexp_matches(ks, '^[+-]?[0-9]+$')
+        |         THEN TRY_CAST(ks AS BIGINT) END AS k
+        |  FROM raw)
         |SELECT event_type, count(*) AS n,
         |  CAST(sum(k) AS BIGINT) AS sum_k, min(k) AS min_k, max(k) AS max_k
         |FROM k GROUP BY 1 ORDER BY 1""".stripMargin,

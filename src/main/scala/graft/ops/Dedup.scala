@@ -84,18 +84,25 @@ object Dedup {
       .where(col("hamming") <= maxHamming)
   }
 
+  /** Distinct (id, gram) rows of space-joined word `n`-grams — the shared
+    * shingle builder for [[ngramJaccard]] and [[ngramContamination]]
+    * (oracle-parity-sensitive: the dd02/dd07 DuckDB CTEs mirror exactly
+    * this positions-1..(|words|-n+1) / size>=n-guard shape). */
+  private def wordGrams(docs: DataFrame, n: Int): DataFrame = {
+    val words = split(col("content"), " ")
+    val grams0 = when(size(words) >= n,
+      transform(sequence(lit(1), size(words) - n + 1),
+        i => array_join(slice(words, i, lit(n)), " "))
+    ).otherwise(array())
+    docs.select(col("id"), explode(grams0).as("gram")).distinct()
+  }
+
   /** Exact word-level n-gram (shingle) Jaccard for given candidate pairs:
     * distinct word n-grams per side, intersection/union via explode +
     * joins — pure built-ins, SQL-expressible (DuckDB-oracle-checkable). */
   def ngramJaccard(docs: DataFrame, pairs: DataFrame, n: Int = 2): DataFrame = {
     require(n >= 1)
-    val words = split(col("content"), " ")
-    // positions 1..(|words|-n+1), each mapped to the space-joined n-gram
-    val grams0 = when(size(words) >= n,
-      transform(sequence(lit(1), size(words) - n + 1),
-        i => array_join(slice(words, i, lit(n)), " "))
-    ).otherwise(array())
-    val grams = docs.select(col("id"), explode(grams0).as("gram")).distinct()
+    val grams = wordGrams(docs, n)
     val ga = grams.select(col("id").as("id_a"), col("gram"))
     val gb = grams.select(col("id").as("id_b"), col("gram"))
     val inter = pairs.join(ga, "id_a").join(gb, Seq("id_b", "gram"))
@@ -126,16 +133,8 @@ object Dedup {
   def ngramContamination(train: DataFrame, bench: DataFrame, n: Int = 3,
                          minShared: Int = 2, maxGramDf: Int = 100): DataFrame = {
     require(n >= 1 && minShared >= 1 && maxGramDf >= 2)
-    def gramsOf(df: DataFrame): DataFrame = {
-      val words = split(col("content"), " ")
-      val grams0 = when(size(words) >= n,
-        transform(sequence(lit(1), size(words) - n + 1),
-          i => array_join(slice(words, i, lit(n)), " "))
-      ).otherwise(array())
-      df.select(col("id"), explode(grams0).as("gram")).distinct()
-    }
-    val tg = gramsOf(train)
-    val bg = gramsOf(bench)
+    val tg = wordGrams(train, n)
+    val bg = wordGrams(bench, n)
     val rare = tg.unionAll(bg)
       .groupBy("gram").agg(count(lit(1)).as("gdf"))
       .where(col("gdf") <= maxGramDf)

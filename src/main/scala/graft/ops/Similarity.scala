@@ -45,12 +45,16 @@ object Similarity {
     * [[graft.expr.GraftExtensions]] is on the session, else the
     * bit-identical [[cosineHof]] fallback — so library callers on a
     * vanilla session get correct (if slower) results instead of Spark's
-    * generic UNRESOLVED_ROUTINE analysis error (round-3 advice). The
-    * registry probe is memoized per session. */
-  private val nativeProbe =
-    scala.collection.concurrent.TrieMap[SparkSession, Boolean]()
+    * generic UNRESOLVED_ROUTINE analysis error (round-3 advice). BOTH
+    * kernel functions are probed (a session with a foreign UDF that
+    * happens to be named cosine_sim must not be mistaken for a graft
+    * session and then fail on l2sq_int). Deliberately NOT memoized: the
+    * probe is a driver-side catalog lookup at plan-construction time,
+    * and a session-keyed cache would pin stopped sessions for the JVM's
+    * life (round-4 review). */
   private[ops] def hasNativeFns(spark: SparkSession): Boolean =
-    nativeProbe.getOrElseUpdate(spark, spark.catalog.functionExists("cosine_sim"))
+    spark.catalog.functionExists("cosine_sim") &&
+      spark.catalog.functionExists("l2sq_int")
   def cosineFor(spark: SparkSession): (Column, Column) => Column =
     if (hasNativeFns(spark)) cosine else cosineHof
 
