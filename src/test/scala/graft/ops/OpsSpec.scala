@@ -298,6 +298,36 @@ class OpsSpec extends AnyFunSuite with SparkTestBase {
     assert(!out.keys.exists(_._1 == 2L), s"single shared gram under minShared: $out")
   }
 
+  test("ngram contamination equals a driver-side reference (randomized, multi-seed)") {
+    val vocab = Array("aa", "bb", "cc", "dd", "ee", "ff", "gg")
+    for (seed <- Seq(11, 37)) {
+      val rnd = new scala.util.Random(seed)
+      def doc() = Seq.fill(5 + rnd.nextInt(10))(vocab(rnd.nextInt(vocab.length))).mkString(" ")
+      val train = Seq.tabulate(40)(i => (i.toLong, doc()))
+      val bench = Seq.tabulate(8)(i => (100L + i, doc()))
+      val (n, minShared, maxDf) = (2, 2, 6)
+      def gramsOf(s: String) = {
+        val w = s.split(" ")
+        if (w.length < n) Set.empty[String]
+        else (0 to w.length - n).map(i => w.slice(i, i + n).mkString(" ")).toSet
+      }
+      val tg = train.map { case (id, s) => id -> gramsOf(s) }
+      val bg = bench.map { case (id, s) => id -> gramsOf(s) }
+      val df = (tg ++ bg).flatMap { case (_, gs) => gs.toSeq }
+        .groupBy(identity).map { case (g, xs) => g -> xs.size }
+      val rare = df.filter(_._2 <= maxDf).keySet
+      val expected = (for {
+        (ti, tgs) <- tg; (bi, bgs) <- bg if ti != bi
+        shared = (tgs intersect bgs intersect rare).size if shared >= minShared
+      } yield (ti, bi) -> shared.toLong).toMap
+      val got = Dedup.ngramContamination(
+          train.toDF("id", "content"), bench.toDF("id", "content"),
+          n = n, minShared = minShared, maxGramDf = maxDf)
+        .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+      assert(got == expected, s"seed=$seed")
+    }
+  }
+
   test("packChunks: concat-and-chunk positions match a sequential reference; partition-invariant") {
     // doc i has (i % 5 + 1) four-char words -> exactly i % 5 + 1 subwords
     val rows = (0L until 60L).map(i =>
