@@ -112,6 +112,27 @@ class AsOfSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("bucketed as-of with composite keys equals asofJoin") {
+    val rnd = new scala.util.Random(43)
+    val left = Seq.tabulate(80)(i => (i.toLong, rnd.nextInt(3).toLong,
+      Seq("a", "b")(rnd.nextInt(2)), rnd.nextInt(50).toLong))
+    val right = Seq.tabulate(90)(i => (1000L + i, rnd.nextInt(3).toLong,
+      Seq("a", "b")(rnd.nextInt(2)), rnd.nextInt(50).toLong))
+    val l = left.toDF("id", "k1", "k2", "sec")
+      .withColumn("ts", timestamp_seconds(col("sec"))).drop("sec")
+    val r = right.toDF("event_id", "k1", "k2", "sec")
+      .withColumn("ts", timestamp_seconds(col("sec"))).drop("sec")
+      .select(col("k1"), col("k2"), col("ts"), col("event_id"))
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .select("id", "matched_event_id").collect()
+      .map(row => row.getLong(0) ->
+        (if (row.isNullAt(1)) -1L else row.getLong(1))).toMap
+    val base = rows(AsOf.asofJoin(l, r, Seq("k1", "k2"), "ts", "event_id"))
+    val bucketed = rows(AsOf.asofJoinBucketed(l, r, Seq("k1", "k2"), "ts",
+      "event_id", bucketWidthUs = 11L * 1000000L))
+    assert(bucketed == base)
+  }
+
   test("bucketed as-of plan has no join operator") {
     val l = Seq((1L, 1L, 5L)).toDF("id", "k", "sec")
       .withColumn("ts", timestamp_seconds(col("sec"))).drop("sec")

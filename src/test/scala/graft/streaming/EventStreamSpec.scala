@@ -197,6 +197,43 @@ class EventStreamSpec extends AnyFunSuite with SparkTestBase {
       s"expected the in-batch and cross-batch pairs exactly once: $got")
   }
 
+  test("interval pairs maxBuffer guard: hot key caps its buffer, oldest partners dropped") {
+    // 12 same-user events 1s apart, width 100s (all-pairs = 66), buffer
+    // capped at 4: the reference fold keeps the 4 most recent events
+    val dir = java.nio.file.Files.createTempDirectory("ivl-cap").toString
+    val events = (0 until 12).map(i => (i.toLong, ts(10000L + i), 7L, "e", 0.0))
+    events.toDF("event_id", "ts", "user_id", "event_type", "value")
+      .write.mode("overwrite").parquet(dir)
+    val src = spark.readStream.schema(spark.read.parquet(dir).schema)
+      .parquet(dir).as[EventStream.Event]
+    val q = EventStream.intervalPairsStreaming(src, widthUs = 100L * 1000000L,
+        maxBuffer = 4)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("ivl_cap")
+      .trigger(Trigger.AvailableNow()).start()
+    assert(q.awaitTermination(120000), "streaming query did not finish in time")
+    val got = spark.table("ivl_cap").collect()
+      .map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))).toSet
+    // reference: sorted fold with a 4-deep buffer evicting the oldest
+    val expected = {
+      val buf = scala.collection.mutable.ArrayBuffer.empty[Long]
+      val out = scala.collection.mutable.Set.empty[(Long, Long)]
+      (0L until 12L).foreach { id =>
+        buf.foreach(p => out += ((math.min(p, id), math.max(p, id))))
+        buf += id
+        if (buf.length > 4) buf.remove(0)
+      }
+      out.toSet
+    }
+    assert(got == expected, s"got ${got.size}, expected ${expected.size}")
+    assert(got.size < 66, "the cap must drop oldest-partner pairs")
+    // and every emitted pair is a true batch pair (subset, never invention)
+    val batch = graft.ops.RangeJoin.withinInterval(
+        spark.read.parquet(dir), Seq("user_id"), "ts", "event_id", 100L * 1000000L)
+      .collect().map(r => (r.getLong(1), r.getLong(2))).toSet
+    assert(got.subsetOf(batch))
+  }
+
   test("streaming dedup keeps first occurrence per key; state bounded by watermark") {
     val dir = java.nio.file.Files.createTempDirectory("dedup-stream").toString
     val base = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
