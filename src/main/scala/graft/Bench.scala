@@ -25,9 +25,14 @@ import org.apache.spark.storage.StorageLevel
   * numbers; the cross-session pair is the literal two-parallelism-level
   * protocol run.
   *
-  * Headline query timings are warm best-of-3 (SparkEntry.clearFrameCache
-  * between runs, so the er family re-computes rather than re-reading its
-  * memo): one-shot timings swing +/-50% on this VM (BASELINE.md).
+  * Headline query timings are warm best-of-3 with INTERLEAVED passes
+  * (one untimed warmup pass, then 3 timed passes over the whole headline
+  * set; SparkEntry.clearFrameCache before every repetition so the er
+  * family re-computes rather than re-reading its memo): one-shot timings
+  * swing +/-50% on this VM and a single steal window can cover three
+  * back-to-back reps of one query, but not the same query's rep in three
+  * passes minutes apart (BASELINE.md round-4 postmortem). Per-rep times
+  * ship in the artifact (`query_reps`) for self-diagnosis.
   */
 object Bench {
 
@@ -225,19 +230,35 @@ object Bench {
 
     // headline driver-contract queries over the sf tables: warm best-of-3,
     // with the er-family frame memo cleared before every repetition so the
-    // min is a real recomputation, not a cache read
+    // min is a real recomputation, not a cache read.
+    //
+    // Steal-immune protocol (round-4 verdict #1): the three timed
+    // repetitions of a query are NOT consecutive — the whole headline set
+    // runs as full passes (warmup pass untimed, then 3 timed passes), so a
+    // query's reps are spread minutes apart across the invocation. The
+    // committed BENCH_r04.json recorded untouched queries at 2.4-6.4x
+    // their quiet-run times because one hypervisor-steal window covered
+    // all three back-to-back reps; with interleaved passes a window that
+    // long contaminates at most one rep per query and the min recovers.
+    // Per-rep times are emitted (`query_reps`) so a contaminated artifact
+    // is self-diagnosing: healthy reps agree within ~20%, a steal window
+    // shows as one inflated pass across every query.
     val headline = Seq("q01_pricing_agg", "q08_region_revenue",
       "er04_scores", "dd03_minhash_pairs", "ann01_topk",
       // round-3 operators: as-of window join, bucketed interval join,
       // quota sampling, quantized k-means training
       "q11_asof_join", "q12_interval_join", "samp02_quota", "ann04_kmeans")
-    val queryTimes = headline.map { name =>
-      val runs = (1 to 3).map { _ =>
+    def onePass(timed: Boolean): Map[String, Double] =
+      headline.map { name =>
         SparkEntry.clearFrameCache(spark)
-        time(SparkEntry.queries(name)(spark, sfDir).count())._2
-      }
-      name -> runs.min
-    }
+        name -> time(SparkEntry.queries(name)(spark, sfDir).count())._2
+      }.toMap
+    onePass(timed = false) // warmup: codegen compile, JIT, page cache
+    val passes = (1 to 3).map(_ => onePass(timed = true))
+    val queryTimes = headline.map { name => name -> passes.map(_(name)).min }
+    val queryReps = headline.map { name =>
+      "\"" + name + "\":" + passes.map(p => f"${p(name)}%.3f").mkString("[", ",", "]")
+    }.mkString("{", ",", "}")
 
     val stages = Seq(
       "corpus_gen" -> leg.tGen, "block_and_pair" -> leg.tBlock,
@@ -285,6 +306,7 @@ object Bench {
     }.getOrElse("")
     println(
       s"""{"metric":"er_pipeline_total","value":$total,"unit":"sec","queries":$qs,""" +
+      s""""query_reps":$queryReps,""" +
       scaling +
       s""""sf":"$sfDir","cpus":$cpus,"files":${leg.nFiles},"candidate_pairs":${leg.nCand},""" +
       s""""pairs_scored":$nScored,"score_bench_pairs":${leg.scoreBenchPairs},""" +

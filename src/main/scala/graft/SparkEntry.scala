@@ -742,10 +742,11 @@ object SparkEntry {
     }),
     "txt06_redact" -> ((s, dir) => {
       // PII scrubbing (C4/CCNet-style): the synthetic corpus has no real
-      // PII, so deterministic emails/URLs are planted first (the erInput
-      // pattern, mirrored in the oracle CTE) — doc_id % 7 gets an email,
-      // doc_id % 11 a URL, %77 both — making counts and replacement
-      // genuinely non-trivial
+      // PII, so deterministic PII is planted first (the erInput pattern,
+      // mirrored in the oracle CTE) — doc_id % 7 gets an email, % 11 a
+      // URL, % 13 a dashed phone, % 17 an IPv4 (coprime moduli, so some
+      // docs carry several kinds) — making all four counts and the
+      // sequential replacement genuinely non-trivial
       val d = table(s, dir, "documents")
       val planted = d.select(col("doc_id").as("id"),
         concat(col("text"),
@@ -754,9 +755,17 @@ object SparkEntry {
               lit("@example.com"))).otherwise(lit("")),
           when(col("doc_id") % 11 === 0,
             concat(lit(" see https://example.org/d"),
-              col("doc_id").cast("string"))).otherwise(lit(""))).as("content"))
+              col("doc_id").cast("string"))).otherwise(lit("")),
+          when(col("doc_id") % 13 === 0,
+            concat(lit(" call 555-"),
+              lpad((col("doc_id") % 1000).cast("string"), 3, "0"),
+              lit("-0199"))).otherwise(lit("")),
+          when(col("doc_id") % 17 === 0,
+            concat(lit(" from 10.0."), (col("doc_id") % 256).cast("string"),
+              lit(".7"))).otherwise(lit(""))).as("content"))
       TextAnalysis.redact(planted)
         .select(col("id"), col("n_emails"), col("n_urls"),
+          col("n_phones"), col("n_ips"),
           md5(col("redacted")).as("redacted_md5"))
         .orderBy("id")
     }),
@@ -771,6 +780,25 @@ object SparkEntry {
         .select(col("doc_id").as("id"), col("text").as("content"))
       Dedup.ngramContamination(train, bench, n = 3, minShared = 3, maxGramDf = 20)
         .orderBy("train_id", "bench_id")
+    }),
+    "dd08_para_spans" -> ((s, dir) => {
+      // paragraph-level exact dedup (Lee et al. intra-document
+      // boilerplate): erInput's planted copies share every full 8-word
+      // window except possibly the last (only 7 trailing CHARS differ),
+      // so cross-document boilerplate spans are guaranteed; whole-doc
+      // dd01-dd06 cannot see any of these
+      Dedup.paragraphSpans(erInput(s, dir).select(col("id"), col("content")))
+        .orderBy("id", "para_idx")
+    }),
+    "dd09_para_strip" -> ((s, dir) => {
+      // the materialized paragraph scrub: rebuild every document without
+      // its boilerplate windows; md5 gates the full reconstructed text
+      val docs = erInput(s, dir).select(col("id"), col("content"))
+      val spans = Dedup.paragraphSpans(docs)
+      Dedup.stripParagraphs(docs, spans)
+        .select(col("id"), col("n_words"), col("n_kept_words"),
+          md5(col("stripped")).as("stripped_md5"))
+        .orderBy("id")
     }),
     "pack01_chunks" -> ((s, dir) => {
       // token-level sequence packing: 8 hash shards, 256-token chunks —
@@ -818,6 +846,20 @@ object SparkEntry {
        |      AS est_jaccard
        |  FROM cand JOIN sigs sa ON sa.id = cand.id_a
        |            JOIN sigs sb ON sb.id = cand.id_b)""".stripMargin
+
+  /** Shared CTE chain (appended after [[ErCorpusCte]]): fixed 8-word
+    * paragraph windows, their sha256 keys, and the >= 2-distinct-doc
+    * boilerplate hashes — the DuckDB twin of Dedup.paragraphSpans.
+    * DuckDB range(0, n) is empty for n <= 0 (no Spark sequence
+    * down-counting trap to guard here). */
+  private val ParaSpansCtes =
+    """w AS (SELECT id, string_split(content, ' ') AS ws FROM corpus),
+      |p AS (
+      |  SELECT id, CAST(i AS BIGINT) AS para_idx,
+      |    sha256(array_to_string(list_slice(ws, i * 8 + 1, i * 8 + 8), ' ')) AS sha
+      |  FROM w, unnest(range(0, len(ws) // 8)) t(i)),
+      |pf AS (SELECT sha, count(DISTINCT id) AS n_docs FROM p GROUP BY 1
+      |       HAVING count(DISTINCT id) >= 2)""".stripMargin
 
   /** One Lloyd iteration as DuckDB CTEs (the twin of KMeans.assign +
     * the update step inside KMeans.train): argmin assignment from `prev`
@@ -1394,8 +1436,9 @@ object SparkEntry {
          |FROM c ORDER BY id""".stripMargin,
     "txt06_redact" ->
       // the planted-PII CTE mirrors the Spark side exactly; counts on the
-      // original text, sequential replace (emails then URLs, 'g' flag —
-      // Spark's regexp_replace is global by default)
+      // original text, sequential replace (emails, URLs, phones, IPs in
+      // that order, 'g' flag — Spark's regexp_replace is global by
+      // default)
       """WITH planted AS (
         |  SELECT doc_id AS id,
         |    text ||
@@ -1404,16 +1447,30 @@ object SparkEntry {
         |         ELSE '' END ||
         |    CASE WHEN doc_id % 11 = 0
         |         THEN ' see https://example.org/d' || CAST(doc_id AS VARCHAR)
+        |         ELSE '' END ||
+        |    CASE WHEN doc_id % 13 = 0
+        |         THEN ' call 555-' || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0')
+        |              || '-0199'
+        |         ELSE '' END ||
+        |    CASE WHEN doc_id % 17 = 0
+        |         THEN ' from 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.7'
         |         ELSE '' END AS content
         |  FROM documents)
         |SELECT id,
         |  CAST(len(regexp_extract_all(content,
         |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,
         |  CAST(len(regexp_extract_all(content, 'https?://[^ ]+')) AS BIGINT) AS n_urls,
-        |  md5(regexp_replace(
+        |  CAST(len(regexp_extract_all(content,
+        |    '\+?[0-9]{3}-[0-9]{3}-[0-9]{4}')) AS BIGINT) AS n_phones,
+        |  CAST(len(regexp_extract_all(content,
+        |    '[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}')) AS BIGINT) AS n_ips,
+        |  md5(regexp_replace(regexp_replace(regexp_replace(
         |    regexp_replace(content,
         |      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
-        |    'https?://[^ ]+', '<URL>', 'g')) AS redacted_md5
+        |    'https?://[^ ]+', '<URL>', 'g'),
+        |    '\+?[0-9]{3}-[0-9]{3}-[0-9]{4}', '<PHONE>', 'g'),
+        |    '[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}', '<IP>', 'g'))
+        |    AS redacted_md5
         |FROM planted ORDER BY id""".stripMargin,
     "dd07_decontam" ->
       // 3-gram builder = the dd02 shape at n=3: DuckDB range() is
@@ -1443,6 +1500,42 @@ object SparkEntry {
          |WHERE t.id <> b.id
          |GROUP BY 1, 2 HAVING count(*) >= 3
          |ORDER BY 1, 2""".stripMargin,
+    "dd08_para_spans" ->
+      s"""$ErCorpusCte,
+         |$ParaSpansCtes
+         |SELECT p.id, p.para_idx, p.sha, pf.n_docs
+         |FROM p JOIN pf USING (sha)
+         |ORDER BY id, para_idx""".stripMargin,
+    "dd09_para_strip" ->
+      // rebuild: non-boilerplate windows + the trailing remainder,
+      // space-rejoined — list_slice clamps, so the tail slice is empty
+      // when the length is an exact multiple of 8
+      s"""$ErCorpusCte,
+         |$ParaSpansCtes,
+         |spans AS (SELECT p.id, p.para_idx FROM p JOIN pf USING (sha)),
+         |bad AS (SELECT id, list(DISTINCT para_idx) AS bad FROM spans GROUP BY 1),
+         |sdoc AS (
+         |  SELECT w.id, w.ws, coalesce(b.bad, CAST([] AS BIGINT[])) AS bad,
+         |         len(w.ws) // 8 AS np
+         |  FROM w LEFT JOIN bad b USING (id)),
+         |r AS (
+         |  SELECT id, CAST(len(ws) AS BIGINT) AS n_words,
+         |    -- coalesce: DuckDB array_to_string([]) is NULL where Spark's
+         |    -- array_join([]) is '' — fully-stripped exact-multiple-of-8
+         |    -- docs hit this
+         |    coalesce(array_to_string(
+         |      list_concat(
+         |        flatten(list_transform(
+         |          list_filter(range(0, np), i -> NOT list_contains(bad, i)),
+         |          i -> list_slice(ws, i * 8 + 1, i * 8 + 8))),
+         |        list_slice(ws, np * 8 + 1, len(ws))),
+         |      ' '), '') AS stripped
+         |  FROM sdoc)
+         |SELECT id, n_words,
+         |  CAST(CASE WHEN length(stripped) = 0 THEN 0
+         |       ELSE len(string_split(stripped, ' ')) END AS BIGINT) AS n_kept_words,
+         |  md5(stripped) AS stripped_md5
+         |FROM r ORDER BY id""".stripMargin,
     "txt05_repetition" ->
       // DuckDB range() is end-exclusive (Spark sequence is inclusive) and
       // list_slice's end is inclusive: range(1, len-1) x slice(i, i+2)

@@ -281,27 +281,45 @@ object functions {
   * `SparkSession.builder().withExtensions(new GraftExtensions)` or
   * `--conf spark.sql.extensions=graft.expr.GraftExtensions`. */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  // builders previously indexed children blind: a 3-arg call to a 2-arg
+  // function silently DROPPED the extra argument and a 1-arg call died with
+  // IndexOutOfBoundsException instead of an analysis error (round-4 advice)
+  private def arity(name: String, n: Int, children: Seq[Expression]): Seq[Expression] = {
+    if (children.size != n)
+      throw new org.apache.spark.sql.AnalysisException(
+        errorClass = "WRONG_NUM_ARGS.WITHOUT_SUGGESTION",
+        messageParameters = Map(
+          "functionName" -> name, "expectedNum" -> n.toString,
+          "actualNum" -> children.size.toString, "docroot" -> ""))
+    children
+  }
+
   override def apply(e: SparkSessionExtensions): Unit = {
     e.injectFunction((
       new FunctionIdentifier("wfa_distance"),
       new ExpressionInfo("graft.expr.WfaDistance", "wfa_distance"),
-      (children: Seq[Expression]) => WfaDistance(children(0), children(1), children(2))))
+      (children: Seq[Expression]) => {
+        val c = arity("wfa_distance", 3, children); WfaDistance(c(0), c(1), c(2)) }))
     e.injectFunction((
       new FunctionIdentifier("wfa_cigar"),
       new ExpressionInfo("graft.expr.WfaCigar", "wfa_cigar"),
-      (children: Seq[Expression]) => WfaCigar(children(0), children(1), children(2))))
+      (children: Seq[Expression]) => {
+        val c = arity("wfa_cigar", 3, children); WfaCigar(c(0), c(1), c(2)) }))
     e.injectFunction((
       new FunctionIdentifier("splitmix64"),
       new ExpressionInfo("graft.expr.Splitmix64", "splitmix64"),
-      (children: Seq[Expression]) => Splitmix64(children.head)))
+      (children: Seq[Expression]) =>
+        Splitmix64(arity("splitmix64", 1, children).head)))
     e.injectFunction((
       new FunctionIdentifier("cosine_sim"),
       new ExpressionInfo("graft.expr.CosineSim", "cosine_sim"),
-      (children: Seq[Expression]) => CosineSim(children(0), children(1))))
+      (children: Seq[Expression]) => {
+        val c = arity("cosine_sim", 2, children); CosineSim(c(0), c(1)) }))
     e.injectFunction((
       new FunctionIdentifier("l2sq_int"),
       new ExpressionInfo("graft.expr.L2SqInt", "l2sq_int"),
-      (children: Seq[Expression]) => L2SqInt(children(0), children(1))))
+      (children: Seq[Expression]) => {
+        val c = arity("l2sq_int", 2, children); L2SqInt(c(0), c(1)) }))
     // wfa_distance(p,t,band) <= tau  ==>  prepend the implied cheap
     // length-gap predicate (short-circuits the expensive WFA call)
     e.injectOptimizerRule(_ => WfaLengthPrefilter)

@@ -147,6 +147,80 @@ object Dedup {
       .where(col("shared_grams") >= minShared)
   }
 
+  /** Paragraph-level exact dedup spans (the Lee et al. "Deduplicating
+    * Training Data" intra-document scrub): whole-doc dedup (dd01/dd03)
+    * cannot see boilerplate REPEATED INSIDE otherwise-unique documents —
+    * license headers, navigation chrome, template footers. Documents are
+    * cut into consecutive non-overlapping `windowWords`-word paragraphs
+    * (trailing remainder shorter than a window is not a paragraph), each
+    * paragraph is keyed by its sha256, and a paragraph whose hash occurs
+    * in at least `minDocs` DISTINCT documents is boilerplate. Returns one
+    * row per boilerplate occurrence: (id, para_idx, sha, n_docs).
+    *
+    * Scale shape: the explode emits skinny (id, para_idx, sha) rows — the
+    * shuffle key is the 64-char sha, never document text; document
+    * frequency is a map-side-combinable groupBy (count DISTINCT id per
+    * sha — NOT a window); and the spans join is sha-equi (broadcast when
+    * the boilerplate set is small, shuffle-hash otherwise) — there is no
+    * self-join anywhere, so no quadratic hot-bucket pathology to cap.
+    * Remove the spans from the corpus with [[stripParagraphs]]. */
+  def paragraphSpans(docs: DataFrame, windowWords: Int = 8,
+                     minDocs: Int = 2): DataFrame = {
+    require(windowWords >= 1 && minDocs >= 2)
+    val paras = paragraphHashes(docs, windowWords)
+    val freq = paras.select("id", "sha").distinct()
+      .groupBy("sha").agg(count(lit(1)).as("n_docs"))
+      .where(col("n_docs") >= minDocs)
+    paras.join(freq, "sha").select("id", "para_idx", "sha", "n_docs")
+  }
+
+  /** One (id, para_idx, sha) row per full `windowWords`-word window.
+    * sequence(0, nPar-1) must be guarded: for nPar = 0 Spark's sequence
+    * counts DOWN (the txt05 trap), so sub-window docs emit no rows. */
+  private def paragraphHashes(docs: DataFrame, windowWords: Int): DataFrame = {
+    val words = split(col("content"), " ")
+    val nPar = floor(size(words) / windowWords).cast("int")
+    val hashes = when(nPar >= 1,
+      transform(sequence(lit(0), nPar - 1),
+        i => sha2(array_join(slice(words, i * windowWords + 1, lit(windowWords)), " "), 256)))
+      .otherwise(array().cast("array<string>"))
+    docs.select(col("id"), posexplode(hashes).as(Seq("para_idx", "sha")))
+      .select(col("id"), col("para_idx").cast("long").as("para_idx"), col("sha"))
+  }
+
+  /** Materialize the paragraph scrub: rebuild each document's content with
+    * its boilerplate windows removed (non-boilerplate windows plus the
+    * trailing remainder, space-rejoined in original order). `spans` is
+    * [[paragraphSpans]] output (or any (id, para_idx) subset of it);
+    * `windowWords` must match the value the spans were built with.
+    * Per-doc span lists are tiny (<= words/windowWords), so the join is a
+    * skinny (id, bad-indices) frame against the corpus — one shuffle. */
+  def stripParagraphs(docs: DataFrame, spans: DataFrame,
+                      windowWords: Int = 8): DataFrame = {
+    require(windowWords >= 1)
+    val bad = spans.groupBy("id")
+      .agg(collect_set(col("para_idx").cast("long")).as("_bad"))
+    val words = split(col("content"), " ")
+    val nPar = floor(size(words) / windowWords).cast("int")
+    val keptIdx = when(nPar >= 1,
+      filter(sequence(lit(0), nPar - 1),
+        i => !array_contains(col("_bad"), i.cast("long"))))
+      .otherwise(array().cast("array<int>"))
+    val keptWords = flatten(transform(keptIdx,
+      i => slice(words, i * windowWords + 1, lit(windowWords))))
+    val tail = when(size(words) > nPar * windowWords,
+      slice(words, nPar * windowWords + 1, size(words) - nPar * windowWords))
+      .otherwise(array().cast("array<string>"))
+    docs.join(bad, Seq("id"), "left_outer")
+      .withColumn("_bad", coalesce(col("_bad"), array().cast("array<long>")))
+      .withColumn("n_words", size(words).cast("long"))
+      .withColumn("stripped", array_join(concat(keptWords, tail), " "))
+      .withColumn("n_kept_words",
+        when(length(col("stripped")) === 0, 0L)
+          .otherwise(size(split(col("stripped"), " ")).cast("long")))
+      .drop("_bad", "content")
+  }
+
   /** Materialize the dedup: one survivor (the minimum id) per connected
     * component of the near-dup pair graph, singletons kept. Composes the
     * ER clustering (large-star/small-star CC — O(log n) shuffle-bounded

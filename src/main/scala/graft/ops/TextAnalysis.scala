@@ -92,28 +92,42 @@ object TextAnalysis {
     }
   }
 
-  /** Email/URL patterns for [[redact]]: kept inside the dialect
-    * intersection of Java regex (Spark codegen) and RE2 (DuckDB), so the
-    * oracle mirrors match-for-match. Both engines count/replace
-    * NON-OVERLAPPING matches left to right. */
+  /** PII patterns for [[redact]]: kept inside the dialect intersection of
+    * Java regex (Spark codegen) and RE2 (DuckDB), so the oracle mirrors
+    * match-for-match. Both engines count/replace NON-OVERLAPPING matches
+    * left to right. Phone is the NANP dashed form (the unambiguous shape
+    * every scrub list starts with); IPv4 is the plain dotted quad. */
   val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
   val UrlRe = "https?://[^ ]+"
+  val PhoneRe = "\\+?[0-9]{3}-[0-9]{3}-[0-9]{4}"
+  val Ipv4Re = "[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}"
 
   /** PII-style scrubbing for training corpora: counts and redacts email
-    * addresses and URLs (the C4/CCNet-style cleanup step). Counts are
-    * taken on the ORIGINAL text; redaction is sequential (emails first,
-    * then URLs). Pure codegen'd regexp built-ins — per-row map-side work,
-    * no UDF, SQL-mirrorable.
-    * @return input columns (minus content) + n_emails, n_urls, redacted */
+    * addresses, URLs, dashed phone numbers, and IPv4 addresses (the
+    * C4/CCNet-style cleanup step). Counts are taken on the ORIGINAL text;
+    * redaction is sequential (emails, then URLs, then phones, then IPs —
+    * the order matters: an IP inside a URL is already `<URL>` by the time
+    * the IP pass runs, so it is counted once but redacted as part of the
+    * URL). Pure codegen'd regexp built-ins — per-row map-side work, no
+    * UDF, SQL-mirrorable.
+    * @return input columns (minus content) + n_emails, n_urls, n_phones,
+    *         n_ips, redacted */
   def redact(docs: DataFrame, contentCol: String = "content"): DataFrame = {
     val c = col(contentCol)
+    def count(re: String) = size(regexp_extract_all(c, lit(re), lit(0))).cast("long")
     docs
-      .withColumn("n_emails",
-        size(regexp_extract_all(c, lit(EmailRe), lit(0))).cast("long"))
-      .withColumn("n_urls",
-        size(regexp_extract_all(c, lit(UrlRe), lit(0))).cast("long"))
+      .withColumn("n_emails", count(EmailRe))
+      .withColumn("n_urls", count(UrlRe))
+      .withColumn("n_phones", count(PhoneRe))
+      .withColumn("n_ips", count(Ipv4Re))
       .withColumn("redacted",
-        regexp_replace(regexp_replace(c, EmailRe, "<EMAIL>"), UrlRe, "<URL>"))
+        regexp_replace(
+          regexp_replace(
+            regexp_replace(
+              regexp_replace(c, EmailRe, "<EMAIL>"),
+              UrlRe, "<URL>"),
+            PhoneRe, "<PHONE>"),
+          Ipv4Re, "<IP>"))
       .drop(contentCol)
   }
 

@@ -247,8 +247,13 @@ object Er {
     *
     * Returns (id, entity) for every node present in `edgeDf`; entity is the
     * component's minimum id.
-    */
-  def connectedComponents(edgeDf: DataFrame): DataFrame = {
+    *
+    * @param maxIters round cap — a backstop, not a tuning knob: large-star/
+    *   small-star converges in O(log n) rounds, so 50 covers ~2^50 nodes.
+    *   Exhausting it means the star contraction is incomplete and the
+    *   entities would be WRONG, so the loop fails loud rather than
+    *   returning silently (round-4 verdict). */
+  def connectedComponents(edgeDf: DataFrame, maxIters: Int = 50): DataFrame = {
     val spark = edgeDf.sparkSession
     // per-round lineage cut: reliable checkpoint when the session has a
     // checkpoint dir (the cluster path — survives executor loss and keeps
@@ -297,7 +302,7 @@ object Er {
     var converged = false
     var iters = 0
     var sig = signature(e)
-    while (!converged && iters < 50) {
+    while (!converged && iters < maxIters) {
       val next = cut(smallStar(largeStar(e)))
       val nextSig = signature(next)
       converged = nextSig == sig
@@ -305,6 +310,9 @@ object Er {
       e = next
       iters += 1
     }
+    require(converged,
+      s"connected components did not converge within $maxIters rounds — " +
+        "star contraction incomplete, entities would be wrong")
     // converged state is a forest of stars rooted at component minima
     val members = e.select(col("u").as("id"), col("v").as("entity"))
     val roots = e.select(col("v").as("id"), col("v").as("entity")).distinct()

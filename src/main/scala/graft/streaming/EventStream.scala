@@ -298,7 +298,15 @@ object EventStream {
             if (ts.nonEmpty) {
               state.update(RecentEvents(ts.toArray, ids.toArray))
               val horizon = math.max(maxUs, ts.max)
-              state.setTimeoutTimestamp(horizon / 1000 + idleTtlSeconds * 1000)
+              // clamp above the current watermark: when a batch carries only
+              // null-ts rows for a key, `horizon` comes from stale retained
+              // events (as low as watermark - widthUs), and with
+              // widthUs >= idleTtl the raw timeout would land at or before
+              // the watermark — Spark rejects that with an
+              // IllegalArgumentException and kills the query
+              state.setTimeoutTimestamp(math.max(
+                state.getCurrentWatermarkMs() + 1,
+                horizon / 1000 + idleTtlSeconds * 1000))
             } else state.remove()
             out.result().iterator
           }

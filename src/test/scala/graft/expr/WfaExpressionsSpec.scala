@@ -77,4 +77,19 @@ class WfaExpressionsSpec extends AnyFunSuite {
     }
     assert(e.getMessage.toLowerCase.contains("wfa_distance"))
   }
+
+  test("wrong arity is an analysis error, not a silent drop or index crash") {
+    import org.apache.spark.sql.AnalysisException
+    // 3-arg call to a 2-arg function: previously children(2) was silently
+    // DROPPED (the call "worked" on the first two args); 0-arg call:
+    // previously IndexOutOfBoundsException from children.head
+    for (sql <- Seq(
+        "SELECT l2sq_int(array(1L), array(1L), array(1L))",
+        "SELECT splitmix64()",
+        "SELECT cosine_sim(array(1.0d))",
+        "SELECT wfa_distance('a', 'b')")) {
+      val e = intercept[AnalysisException](spark.sql(sql).collect())
+      assert(e.getMessage.contains("requires"), s"$sql -> ${e.getMessage}")
+    }
+  }
 }

@@ -265,18 +265,76 @@ class OpsSpec extends AnyFunSuite with SparkTestBase {
     assert(out(3L) == ((6L, 2L, 4.0 / 6)))
   }
 
-  test("redact: counts on original text, sequential email-then-URL replacement") {
+  test("redact: counts on original text, sequential email/URL/phone/IP replacement") {
     val d = Seq(
       (0L, "write to a.b+c@ex-1.org or ops@x.io today"),
       (1L, "docs at https://ex.org/a?b=1 and http://y.z/p"),
       (2L, "mixed bob@ex.com see https://ex.org/d"),
-      (3L, "nothing to scrub here")).toDF("id", "content")
+      (3L, "nothing to scrub here"),
+      (4L, "call 555-867-5309 or +1 at 800-555-0199 now"),
+      (5L, "host 192.168.1.23 and 10.0.0.7 respond"),
+      // an IP inside a URL: counted once as IP on the original text, but
+      // the URL pass redacts it first — sequential order is the contract
+      (6L, "see http://10.0.0.8/x for 555-123-4567")).toDF("id", "content")
     val out = TextAnalysis.redact(d).collect()
-      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getString(3))).toMap
-    assert(out(0L) == ((2L, 0L, "write to <EMAIL> or <EMAIL> today")))
-    assert(out(1L) == ((0L, 2L, "docs at <URL> and <URL>")))
-    assert(out(2L) == ((1L, 1L, "mixed <EMAIL> see <URL>")))
-    assert(out(3L) == ((0L, 0L, "nothing to scrub here")))
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)), r.getString(5))).toMap
+    assert(out(0L) == (((2L, 0L, 0L, 0L), "write to <EMAIL> or <EMAIL> today")))
+    assert(out(1L) == (((0L, 2L, 0L, 0L), "docs at <URL> and <URL>")))
+    assert(out(2L) == (((1L, 1L, 0L, 0L), "mixed <EMAIL> see <URL>")))
+    assert(out(3L) == (((0L, 0L, 0L, 0L), "nothing to scrub here")))
+    assert(out(4L) == (((0L, 0L, 2L, 0L), "call <PHONE> or +1 at <PHONE> now")))
+    assert(out(5L) == (((0L, 0L, 0L, 2L), "host <IP> and <IP> respond")))
+    assert(out(6L) == (((0L, 1L, 1L, 1L), "see <URL> for <PHONE>")))
+  }
+
+  test("paragraph spans: cross-doc 8-word windows flagged; remainders and sub-window docs produce none") {
+    val w8 = "w0 w1 w2 w3 w4 w5 w6 w7"
+    val d = Seq(
+      (0L, w8 + " tail0 only"),                  // window 0 shared with doc 1
+      (1L, "lead0 " + w8),                       // same 8 words but OFFSET by one -> different window
+      (2L, w8 + " different trailing words"),    // window 0 shared with doc 0
+      (3L, "a b c d e f g"),                     // 7 words: no windows
+      (4L, w8 + " " + w8)                        // windows 0 and 1 both = the shared window
+    ).toDF("id", "content")
+    val spans = Dedup.paragraphSpans(d).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(3)))
+    // sha of w8 occurs in docs 0, 2, 4 (doc 1's window is shifted)
+    assert(spans.toSet == Set((0L, 0L, 3L), (2L, 0L, 3L), (4L, 0L, 3L), (4L, 1L, 3L)))
+  }
+
+  test("stripParagraphs matches a driver-side reference (randomized, multi-seed)") {
+    val pool = Vector("alpha", "beta", "gamma", "delta", "eps")
+    for (seed <- Seq(11, 29)) {
+      val rnd = new scala.util.Random(seed)
+      // low-entropy docs so 8-word windows genuinely repeat across docs
+      val docsSeq = (0L until 40L).map { id =>
+        val n = 5 + rnd.nextInt(30)
+        id -> Seq.fill(n)(pool(rnd.nextInt(2) + (if (rnd.nextBoolean()) 0 else 1))).mkString(" ")
+      }
+      val d = docsSeq.toDF("id", "content")
+      val spans = Dedup.paragraphSpans(d)
+      val got = Dedup.stripParagraphs(d, spans).collect()
+        .map(r => r.getAs[Long]("id") ->
+          ((r.getAs[Long]("n_words"), r.getAs[Long]("n_kept_words"), r.getAs[String]("stripped")))).toMap
+      // reference: windows of 8, boilerplate = window-string in >= 2 docs
+      val windows = docsSeq.map { case (id, c) =>
+        val ws = c.split(" ", -1)
+        id -> (ws, ws.grouped(8).filter(_.length == 8).map(_.mkString(" ")).toVector)
+      }.toMap
+      val df = windows.toSeq.flatMap { case (id, (_, w)) => w.distinct.map(_ -> id) }
+        .groupBy(_._1).map { case (w, xs) => w -> xs.map(_._2).distinct.size }
+      val boiler = df.filter(_._2 >= 2).keySet
+      docsSeq.foreach { case (id, c) =>
+        val ws = c.split(" ", -1)
+        val nPar = ws.length / 8
+        val kept = (0 until nPar).filterNot(i => boiler(ws.slice(i * 8, i * 8 + 8).mkString(" ")))
+          .flatMap(i => ws.slice(i * 8, i * 8 + 8)) ++ ws.drop(nPar * 8)
+        val expect = kept.mkString(" ")
+        assert(got(id) == ((ws.length.toLong, kept.length.toLong, expect)),
+          s"seed $seed doc $id")
+      }
+    }
   }
 
   test("ngram contamination: planted copy hits its benchmark source; stop-grams are inert") {
