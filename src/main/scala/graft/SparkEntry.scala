@@ -809,6 +809,40 @@ object SparkEntry {
         "doc_id", "text", chunkTokens = 256, shards = 8)
         .orderBy("id")
     }),
+    "txt07_vocab_tokens" -> ((s, dir) => {
+      // vocab-driven greedy longest-match token counts (the production
+      // tokenizer shape behind txt03's 4-char stand-in); the DuckDB twin
+      // re-derives every count through a recursive-CTE greedy scan over
+      // the same planted vocab — value-level, independent implementation
+      table(s, dir, "documents")
+        .select(col("doc_id"),
+          TextAnalysis.vocabSubwordFor(s)(col("text"), TextAnalysis.VocabV1)
+            .as("n_tokens"))
+        .orderBy("doc_id")
+    }),
+    "pack02_vocab_shuffled" -> ((s, dir) => {
+      // packing composed with BOTH round-5 upgrades: vocab tokens instead
+      // of the stand-in, and the deterministic global shuffle (orderSeed)
+      // as the within-shard concat order — the full production loader
+      // recipe (shuffle -> tokenize -> pack), value-level oracle-checked
+      TextAnalysis.packChunks(
+        table(s, dir, "documents").select(col("doc_id"), col("text")),
+        "doc_id", "text", chunkTokens = 128, shards = 8,
+        vocab = Some(TextAnalysis.VocabV1), orderSeed = Some(7L))
+        .orderBy("id")
+    }),
+    "shuf01_global_shuffle" -> ((s, dir) => {
+      // deterministic global corpus shuffle: exact 0-based position in
+      // the splitmix64(id XOR 7) order via the two-phase bucket-stitched
+      // rank; the oracle is a single global row_number over the UBIGINT
+      // hash — if the bucket stitching were off by one anywhere, every
+      // position after the seam would mismatch
+      Sampling.globalShuffleRank(
+        table(s, dir, "documents").select(col("doc_id"), col("lang")),
+        "doc_id", seed = 7L)
+        .select(col("doc_id"), col("lang"), col("shuffle_pos"))
+        .orderBy("doc_id")
+    }),
     "txt04_fingerprint" -> ((s, dir) => {
       table(s, dir, "documents")
         .select(col("doc_id"), TextAnalysis.fingerprint(col("text")).as("fp"))
@@ -821,6 +855,19 @@ object SparkEntry {
         .select(col("doc_id").as("id"), col("text").as("content"))
       Multimodal.extractMeta(Multimodal.synthesizeMedia(docs))
         .select("id", "width", "height", "payload_len")
+        .orderBy("id")
+    }),
+    "mm02_quarantine" -> ((s, dir) => {
+      // the error-path twin of mm01 (round-4 verdict #7): every 97th blob
+      // is planted corrupt (flipped magic); the tagged decode must route
+      // exactly those to quarantine with -1 sentinels and decode the rest
+      // normally — one pass, no task failures
+      val docs = table(s, dir, "documents")
+        .select(col("doc_id").as("id"), col("text").as("content"))
+      Multimodal.extractMetaTagged(
+          Multimodal.synthesizeMedia(docs, corruptModulus = 97L))
+        .select(col("id"), col("width"), col("height"), col("payload_len"),
+          col("error").isNotNull.cast("long").as("quarantined"))
         .orderBy("id")
     })
   )
@@ -860,6 +907,34 @@ object SparkEntry {
       |  FROM w, unnest(range(0, len(ws) // 8)) t(i)),
       |pf AS (SELECT sha, count(DISTINCT id) AS n_docs FROM p GROUP BY 1
       |       HAVING count(DISTINCT id) >= 2)""".stripMargin
+
+  /** Recursive-CTE greedy tokenizer — the DuckDB twin of
+    * [[graft.expr.VocabTokensEval]] over [[TextAnalysis.VocabV1]], via a
+    * genuinely different mechanism (per-word recursion with a correlated
+    * longest-match subquery vs the kernel's linear probe), so txt07/pack02
+    * parity is evidence of the RULES, not of shared code. Must be
+    * prefixed with `WITH RECURSIVE`. `vdoc` is (doc_id, n_tokens). */
+  private lazy val VocabCtes = {
+    val vlit = graft.ops.TextAnalysis.VocabV1.map(p => s"'$p'").mkString("[", ",", "]")
+    s"""vocab(p) AS (SELECT unnest($vlit)),
+       |vwords AS (SELECT DISTINCT unnest(regexp_split_to_array(trim(text), ' +')) AS w
+       |           FROM documents),
+       |vtok(w, pos, cnt) AS (
+       |  SELECT w, 1, 0 FROM vwords
+       |  UNION ALL
+       |  SELECT w,
+       |    pos + CAST(coalesce((SELECT max(length(p)) FROM vocab
+       |                         WHERE substr(vtok.w, vtok.pos, length(p)) = p),
+       |                        1) AS INTEGER),
+       |    cnt + 1
+       |  FROM vtok WHERE pos <= length(w)),
+       |vwc AS (SELECT w, cnt FROM vtok WHERE pos = length(w) + 1),
+       |vdoc AS (
+       |  SELECT doc_id, CAST(coalesce(sum(vwc.cnt), 0) AS BIGINT) AS n_tokens
+       |  FROM (SELECT doc_id, unnest(regexp_split_to_array(trim(text), ' +')) AS w
+       |        FROM documents) dw
+       |  JOIN vwc USING (w) GROUP BY 1)""".stripMargin
+  }
 
   /** One Lloyd iteration as DuckDB CTEs (the twin of KMeans.assign +
     * the update step inside KMeans.train): argmin assignment from `prev`
@@ -1434,6 +1509,44 @@ object SparkEntry {
          |  (cum - n_tokens) // 256 AS first_chunk,
          |  (cum - 1) // 256 AS last_chunk
          |FROM c ORDER BY id""".stripMargin,
+    "txt07_vocab_tokens" ->
+      s"""WITH RECURSIVE $VocabCtes
+         |SELECT doc_id, n_tokens FROM vdoc ORDER BY doc_id""".stripMargin,
+    "pack02_vocab_shuffled" ->
+      // vocab tokens (recursive-CTE twin) + the global mixing shuffle:
+      // shard from splitmix(id XOR 42) & 7 (pack01's), concat order from
+      // splitmix(id XOR 7) compared as UBIGINT (the Spark side flips the
+      // sign bit so its signed sort realizes the same order); windowed
+      // sum cast (the q06 trap)
+      s"""WITH RECURSIVE $VocabCtes,
+         |pg AS (SELECT doc_id AS id, n_tokens,
+         |    ${DuckHash.splitmixCols(
+               "xor(CAST(doc_id AS UBIGINT), CAST(42 AS UBIGINT))", "ps")} AS hs
+         |  FROM vdoc),
+         |pg2 AS (SELECT id, n_tokens, CAST((hs & 7) AS BIGINT) AS shard,
+         |    ${DuckHash.splitmixCols(
+               "xor(CAST(id AS UBIGINT), CAST(7 AS UBIGINT))", "pm")} AS hm
+         |  FROM pg),
+         |pc AS (
+         |  SELECT id, shard, n_tokens,
+         |    CAST(sum(n_tokens) OVER (PARTITION BY shard ORDER BY hm, id
+         |         ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+         |  FROM pg2 WHERE n_tokens > 0)
+         |SELECT id, shard, n_tokens, cum - n_tokens AS start_tok,
+         |  (cum - n_tokens) // 128 AS first_chunk,
+         |  (cum - 1) // 128 AS last_chunk
+         |FROM pc ORDER BY id""".stripMargin,
+    "shuf01_global_shuffle" ->
+      // the independent spec of the two-phase bucket-stitched rank: ONE
+      // global row_number over the unsigned hash order
+      s"""WITH g AS (
+         |  SELECT doc_id, lang,
+         |    ${DuckHash.splitmixCols(
+               "xor(CAST(doc_id AS UBIGINT), CAST(7 AS UBIGINT))", "gs")} AS h
+         |  FROM documents)
+         |SELECT doc_id, lang,
+         |  CAST(row_number() OVER (ORDER BY h, doc_id) - 1 AS BIGINT) AS shuffle_pos
+         |FROM g ORDER BY doc_id""".stripMargin,
     "txt06_redact" ->
       // the planted-PII CTE mirrors the Spark side exactly; counts on the
       // original text, sequential replace (emails, URLs, phones, IPs in
@@ -1561,6 +1674,14 @@ object SparkEntry {
         |  CAST(doc_id % 48 + 16 AS INT) AS width,
         |  CAST(doc_id % 32 + 16 AS INT) AS height,
         |  CAST(least(octet_length(CAST(text AS BLOB)), 256) AS INT) AS payload_len
+        |FROM documents ORDER BY id""".stripMargin,
+    "mm02_quarantine" ->
+      """SELECT doc_id AS id,
+        |  CAST(CASE WHEN doc_id % 97 = 0 THEN -1 ELSE doc_id % 48 + 16 END AS INT) AS width,
+        |  CAST(CASE WHEN doc_id % 97 = 0 THEN -1 ELSE doc_id % 32 + 16 END AS INT) AS height,
+        |  CAST(CASE WHEN doc_id % 97 = 0 THEN -1
+        |       ELSE least(octet_length(CAST(text AS BLOB)), 256) END AS INT) AS payload_len,
+        |  CAST(CASE WHEN doc_id % 97 = 0 THEN 1 ELSE 0 END AS BIGINT) AS quarantined
         |FROM documents ORDER BY id""".stripMargin
   )
 }

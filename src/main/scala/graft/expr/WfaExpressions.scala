@@ -274,6 +274,9 @@ object functions {
   def cosine_sim(a: Column, b: Column): Column = call_function("cosine_sim", a, b)
 
   def l2sq_int(a: Column, b: Column): Column = call_function("l2sq_int", a, b)
+
+  def vocab_tokens(text: Column, vocabCsv: Column): Column =
+    call_function("vocab_tokens", text, vocabCsv)
 }
 
 /** SparkSessionExtensions hook: registers wfa_distance / wfa_cigar for SQL
@@ -320,6 +323,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo("graft.expr.L2SqInt", "l2sq_int"),
       (children: Seq[Expression]) => {
         val c = arity("l2sq_int", 2, children); L2SqInt(c(0), c(1)) }))
+    e.injectFunction((
+      new FunctionIdentifier("vocab_tokens"),
+      new ExpressionInfo("graft.expr.VocabTokens", "vocab_tokens"),
+      (children: Seq[Expression]) => {
+        val c = arity("vocab_tokens", 2, children); VocabTokens(c(0), c(1)) }))
     // wfa_distance(p,t,band) <= tau  ==>  prepend the implied cheap
     // length-gap predicate (short-circuits the expensive WFA call)
     e.injectOptimizerRule(_ => WfaLengthPrefilter)

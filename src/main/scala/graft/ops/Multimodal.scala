@@ -39,8 +39,13 @@ object Multimodal {
 
   /** Synthesize a deterministic media table from a document table:
     * width/height derived from the id, payload from the content bytes.
-    * Mirrors what a real ingest of (id, image_bytes) would look like. */
-  def synthesizeMedia(docs: DataFrame): DataFrame = {
+    * Mirrors what a real ingest of (id, image_bytes) would look like.
+    * @param corruptModulus when > 0, every id divisible by it gets a
+    *   CORRUPT blob (flipped magic) — deterministic bad records for
+    *   exercising the [[extractMetaTagged]] quarantine path end-to-end
+    *   (a real petabyte ingest always carries truncated/bit-rotted
+    *   blobs; the contract gate plants them instead of hoping). */
+  def synthesizeMedia(docs: DataFrame, corruptModulus: Long = 0L): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
     docs.select(col("id").as[Long], col("content").cast("binary").as[Array[Byte]])
@@ -48,7 +53,10 @@ object Multimodal {
         val w = (id % 48 + 16).toInt
         val h = (id % 32 + 16).toInt
         val payload = java.util.Arrays.copyOf(bytes, math.min(bytes.length, 256))
-        (id, FakeCodec.encode(id, w, h, payload))
+        val blob = FakeCodec.encode(id, w, h, payload)
+        if (corruptModulus > 0 && id % corruptModulus == 0)
+          java.nio.ByteBuffer.wrap(blob).putInt(0, Magic ^ 0x5A5A5A5A)
+        (id, blob)
       }
       .toDF("id", "media")
   }

@@ -72,6 +72,57 @@ object Sampling {
       .otherwise(id.cast("long"))
   }
 
+  /** Deterministic global corpus shuffle: every row gets `shuffle_pos`,
+    * its 0-based position in ascending unsigned splitmix64(id XOR seed)
+    * order — the mixing permutation a training-data loader applies before
+    * sequence packing (compose with
+    * [[TextAnalysis.packChunks]]'s `orderSeed`, which realizes the same
+    * order without materializing the rank). Reproducible like
+    * [[stratified]]: the permutation is a pure function of ids, stable
+    * under repartitioning, AQE, and re-runs. Ids must be unique (ties
+    * between duplicate ids would get plan-dependent adjacent positions).
+    *
+    * Scale shape: a single global `row_number` window is ONE task for the
+    * whole corpus (the repo-wide banned pathology), so the rank is
+    * two-phase: rank within `buckets` hash-prefix buckets — each window
+    * partition holds ~1/buckets of the corpus — then add per-bucket
+    * offsets from a map-side-combinable count aggregation (`buckets`
+    * rows, broadcast back; its own cumulative window runs over those few
+    * rows on one task, which is size-independent). Buckets are the TOP
+    * bits of the sort key (ARITHMETIC shift — monotone in the signed
+    * order; an unsigned shift would wrap the negative half to the top),
+    * so (bucket, key) lexicographic order IS the global hash order and
+    * the stitched rank is exact.
+    *
+    * Requires `splitmix64` on the session ([[graft.expr.GraftExtensions]]). */
+  def globalShuffleRank(df: DataFrame, idCol: String, seed: Long = 42L,
+                        buckets: Int = 256): DataFrame = {
+    require(buckets >= 2 && (buckets & (buckets - 1)) == 0,
+      "buckets must be a power of two >= 2")
+    requireHashableId(df, idCol)
+    val clash = df.columns.toSet
+      .intersect(Set("_shuf_h", "_shuf_b", "_shuf_n", "_shuf_off", "_shuf_r", "shuffle_pos"))
+    require(clash.isEmpty, s"input columns collide with working names: $clash")
+    val shift = 64 - Integer.numberOfTrailingZeros(buckets)
+    // sign-bit flip: ascending signed sort == ascending UNSIGNED hash order
+    val h = graft.expr.functions
+      .splitmix64(hashableId(df, idCol).bitwiseXOR(lit(seed)))
+      .bitwiseXOR(lit(Long.MinValue))
+    val withH = df.withColumn("_shuf_h", h)
+      .withColumn("_shuf_b", shiftright(col("_shuf_h"), shift))
+    val offsets = withH.groupBy("_shuf_b").agg(count(lit(1)).as("_shuf_n"))
+      .withColumn("_shuf_off",
+        coalesce(sum("_shuf_n").over(
+          Window.orderBy("_shuf_b").rowsBetween(Window.unboundedPreceding, -1)),
+          lit(0L)))
+      .select("_shuf_b", "_shuf_off")
+    val wB = Window.partitionBy("_shuf_b").orderBy(col("_shuf_h"), col(idCol))
+    withH.join(broadcast(offsets), "_shuf_b")
+      .withColumn("_shuf_r", row_number().over(wB).cast("long"))
+      .withColumn("shuffle_pos", col("_shuf_off") + col("_shuf_r") - 1L)
+      .drop("_shuf_h", "_shuf_b", "_shuf_off", "_shuf_r")
+  }
+
   /** Exact per-stratum quota: keep the `n` rows of each stratum with the
     * smallest hashes (unsigned order; ties impossible for distinct ids,
     * but id is a deterministic secondary sort anyway) — the "exactly N

@@ -16,10 +16,76 @@ object TextAnalysis {
 
   /** BPE-ish subword count: words are split every 4 characters (a
     * deterministic stand-in for a real tokenizer's ~4-chars/token rate):
-    * ceil(len(word)/4) summed over words. */
+    * ceil(len(word)/4) summed over words. The vocab-driven sibling is
+    * [[vocabSubwordFor]]. */
   def subwordCount(text: Column): Column =
     aggregate(split(trim(text), " +"), lit(0L),
       (acc, w) => acc + ceil(length(w).cast("double") / 4.0).cast("long"))
+
+  /** Planted subword vocabulary for the contract gates (txt07/pack02):
+    * hand-cut pieces over the synthetic corpus word pool, chosen so the
+    * greedy rules are all exercised on real rows — longest-match ("scan"
+    * beats "sc"+"an"), a length-5 piece ("spark"), multi-piece words
+    * ("cus|tom|er"), a 1-char piece ("t"), and an unknown-character
+    * fallback ("dup" -> "du" + unknown 'p'). */
+  val VocabV1: Seq[String] = Seq(
+    "the", "a", "ba", "tch", "big", "col", "umn", "cus", "tom", "er",
+    "da", "ta", "du", "fas", "t", "fil", "ter", "gro", "up", "ha", "sh",
+    "jo", "in", "key", "li", "ne", "mer", "ge", "ord", "par", "que", "ry",
+    "row", "scan", "sc", "an", "sl", "ow", "sma", "ll", "so", "rt",
+    "spark", "str", "eam", "tab", "le", "val", "ue", "vec", "tor",
+    "win", "dow", "agg")
+
+  /** Vocab-driven greedy longest-match subword count via the native
+    * codegen expression (requires [[graft.expr.GraftExtensions]] on the
+    * session; see [[graft.expr.VocabTokensEval]] for the exact rules). */
+  def vocabSubwordCount(text: Column, vocab: Seq[String]): Column =
+    graft.expr.functions.vocab_tokens(text, lit(vocab.mkString(",")))
+
+  /** Bit-identical HOF twin of [[vocabSubwordCount]] for vanilla sessions
+    * (the Similarity.cosineFor fallback pattern): pure built-ins, so it
+    * needs no extension registration and mirrors into any SQL engine.
+    * Greedy matching is a loop, which Spark SQL cannot express directly —
+    * so the scan is a FOLD over character indices with the cursor and the
+    * running count bit-packed into one long (pos in the high bits, count
+    * in the low 20; words up to 2^20 chars — far past any real token).
+    * Steps the greedy cursor has already consumed are no-ops. The
+    * matching rule per step is the same longest-first `when` chain the
+    * native kernel and the DuckDB recursive-CTE oracle use. */
+  def vocabSubwordCountHof(text: Column, vocab: Seq[String]): Column = {
+    val piecesDesc = vocab.map(_.trim).filter(_.nonEmpty).distinct
+      .sortBy((p: String) => -p.length)
+    aggregate(split(trim(text), " +"), lit(0L),
+      (acc, w) => acc + vocabWordFold(w, piecesDesc))
+  }
+
+  private def vocabWordFold(w: Column, piecesDesc: Seq[String]): Column = {
+    val init = lit(1L << 20) // pos = 1 (1-based), cnt = 0
+    val stepped = aggregate(
+      // sequence(1, 0) counts DOWN (the txt05 trap): guard empty words
+      when(length(w) >= 1, sequence(lit(1), length(w)))
+        .otherwise(array().cast("array<int>")),
+      init,
+      (st, i) => {
+        val pos = shiftright(st, 20)
+        val cnt = st.bitwiseAND(lit(0xFFFFFL))
+        val adv = piecesDesc.foldRight(lit(1L): Column) { (p, els) =>
+          when(w.substr(pos.cast("int"), lit(p.length)) === lit(p),
+            lit(p.length.toLong)).otherwise(els)
+        }
+        when(i.cast("long") === pos,
+          shiftleft(pos + adv, 20) + cnt + lit(1L)).otherwise(st)
+      })
+    stepped.bitwiseAND(lit(0xFFFFFL))
+  }
+
+  /** Registry-probed selector (the [[Similarity.cosineFor]] pattern): the
+    * native codegen kernel when the session carries GraftExtensions, the
+    * bit-identical HOF twin otherwise. */
+  def vocabSubwordFor(spark: org.apache.spark.sql.SparkSession)
+                     (text: Column, vocab: Seq[String]): Column =
+    if (spark.catalog.functionExists("vocab_tokens")) vocabSubwordCount(text, vocab)
+    else vocabSubwordCountHof(text, vocab)
 
   /** Intra-document repetition (the Gopher-style duplicate-n-gram quality
     * rule): the fraction of word 3-grams that are repeats of an earlier
@@ -147,22 +213,42 @@ object TextAnalysis {
     * shard and order are pure functions of the id, so the chunk layout
     * is stable under repartitioning and re-runs, and `shards` must be a
     * power of two so the mask agrees under signed and unsigned hash
-    * interpretation (the samp01 convention). Tokens are
-    * [[subwordCount]]'s deterministic ~4-chars/token stand-in; zero-token
-    * documents are excluded (they occupy no stream positions). Requires
-    * `splitmix64` on the session ([[graft.expr.GraftExtensions]]). */
+    * interpretation (the samp01 convention). Tokens default to
+    * [[subwordCount]]'s deterministic ~4-chars/token stand-in — pass
+    * `vocab` for the greedy longest-match tokenizer ([[vocabSubwordFor]]).
+    * Zero-token documents are excluded (they occupy no stream positions).
+    * Requires `splitmix64` on the session ([[graft.expr.GraftExtensions]]).
+    *
+    * @param orderSeed when set, documents are GLOBALLY SHUFFLED before
+    *   packing: within-shard concat order becomes the unsigned
+    *   splitmix64(id XOR orderSeed) order instead of id order — the
+    *   mixing step every production loader runs so consecutive training
+    *   chunks don't replay ingest order. Still a pure function of ids:
+    *   same determinism, same one-shuffle plan, just a different sort key
+    *   inside the same window. */
   def packChunks(docs: DataFrame, idCol: String, contentCol: String,
-                 chunkTokens: Int, shards: Int, seed: Long = 42L): DataFrame = {
+                 chunkTokens: Int, shards: Int, seed: Long = 42L,
+                 vocab: Option[Seq[String]] = None,
+                 orderSeed: Option[Long] = None): DataFrame = {
     require(chunkTokens > 0, "chunkTokens must be positive")
     require(shards > 0 && (shards & (shards - 1)) == 0, "shards must be a power of two")
     Sampling.requireHashableId(docs, idCol) // fail fast, not ANSI-throw mid-job
+    val spark = docs.sparkSession
     val shard = graft.expr.functions
       .splitmix64(col(idCol).cast("long").bitwiseXOR(lit(seed)))
       .bitwiseAND(lit(shards - 1L))
-    val w = Window.partitionBy("shard").orderBy("id")
+    val tokens = vocab.map(v => vocabSubwordFor(spark)(col(contentCol), v))
+      .getOrElse(subwordCount(col(contentCol)))
+    // sign-bit flip: ascending signed sort == ascending UNSIGNED hash
+    // order (the samp02 convention, mirrored by the oracle's UBIGINT sort)
+    val mix = orderSeed.map(os => graft.expr.functions
+      .splitmix64(col("id").bitwiseXOR(lit(os)))
+      .bitwiseXOR(lit(Long.MinValue)))
+    val orderCols = mix.toSeq :+ col("id")
+    val w = Window.partitionBy("shard").orderBy(orderCols: _*)
       .rowsBetween(Window.unboundedPreceding, 0)
-    docs.select(col(idCol).as("id"), shard.as("shard"),
-        subwordCount(col(contentCol)).as("n_tokens"))
+    docs.select(col(idCol).cast("long").as("id"), shard.as("shard"),
+        tokens.as("n_tokens"))
       .where(col("n_tokens") > 0)
       .withColumn("cum", sum("n_tokens").over(w))
       .select(col("id"), col("shard"), col("n_tokens"),

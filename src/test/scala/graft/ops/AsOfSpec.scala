@@ -144,6 +144,32 @@ class AsOfSpec extends AnyFunSuite with SparkTestBase {
     assert(!plan.contains("Join"), plan)
   }
 
+  test("bucketAdvisor flags the hot-key regime and sizes buckets; benign skew says no") {
+    // hot key 0: 9000 rows over 90s; 9 benign keys with 10 rows each
+    val hot = Seq.tabulate(9000)(i => (0L, timestampOf(i * 10000L), i.toLong))
+    val benign = (1L to 9L).flatMap(k =>
+      Seq.tabulate(10)(i => (k, timestampOf(i * 1000000L), i.toLong)))
+    val df = (hot ++ benign).toDF("k", "ts", "event_id")
+    val row = AsOf.bucketAdvisor(df, df, Seq("k"), "ts",
+      targetRowsPerBucket = 1000L, hotKeyThreshold = 4.0).head()
+    assert(row.getAs[Long]("max_key_rows") == 18000L) // both sides unioned
+    assert(row.getAs[Boolean]("use_bucketed"))
+    val width = row.getAs[Long]("recommended_bucket_width_us")
+    // hot span is ~90s = 9e7 us over 18 target buckets -> ~5e6 us each
+    assert(width >= 1000000L && width <= 20000000L, s"width=$width")
+    assert(row.getAs[Double]("skew_ratio") > 4.0)
+    // benign: uniform keys -> advisor votes for the one-shuffle asofJoin
+    val uni = (1L to 9L).flatMap(k =>
+      Seq.tabulate(10)(i => (k, timestampOf(i * 1000000L), i.toLong)))
+      .toDF("k", "ts", "event_id")
+    val rowU = AsOf.bucketAdvisor(uni, uni, Seq("k"), "ts",
+      targetRowsPerBucket = 1000L, hotKeyThreshold = 4.0).head()
+    assert(!rowU.getAs[Boolean]("use_bucketed"))
+  }
+
+  private def timestampOf(us: Long): java.sql.Timestamp =
+    new java.sql.Timestamp(us / 1000)
+
   test("plan is window-based: no join operator, one exchange") {
     val l = Seq((1L, 1L, 5L)).toDF("id", "k", "ts")
     val r = Seq((7L, 1L, 4L)).toDF("event_id", "k", "ts")

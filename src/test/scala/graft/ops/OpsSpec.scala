@@ -418,6 +418,81 @@ class OpsSpec extends AnyFunSuite with SparkTestBase {
     assert(run(withEmpty).map(_._1).toSet == rows.map(_._1).toSet)
   }
 
+  test("vocab tokenizer: native kernel, HOF twin, and a blind reference agree (randomized)") {
+    // blind reference: the DuckDB-oracle rule stated directly — at each
+    // position the advance is max(len) over matching pieces, else 1
+    def refWord(w: String, pieces: Seq[String]): Long = {
+      var pos = 0; var cnt = 0L
+      while (pos < w.length) {
+        val m = pieces.filter(p => w.startsWith(p, pos)).map(_.length)
+        pos += (if (m.isEmpty) 1 else m.max); cnt += 1
+      }
+      cnt
+    }
+    def refText(t: String, pieces: Seq[String]): Long =
+      t.trim.split(" +").iterator.filter(_.nonEmpty).map(refWord(_, pieces)).sum
+    val vocab = Seq("ab", "abc", "abcd", "b", "ca", "dd", "e")
+    val rnd = new scala.util.Random(5)
+    val texts = (0L until 80L).map { i =>
+      val words = Seq.fill(1 + rnd.nextInt(6))(
+        Seq.fill(1 + rnd.nextInt(9))(('a' + rnd.nextInt(5)).toChar).mkString)
+      (i, words.mkString(" "))
+    } :+ (900L, "") :+ (901L, "   ") :+ (902L, "abcd abcde xyz")
+    val d = texts.toDF("id", "content")
+    val native = d.select($"id", TextAnalysis.vocabSubwordCount($"content", vocab).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val hof = d.select($"id", TextAnalysis.vocabSubwordCountHof($"content", vocab).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    texts.foreach { case (id, t) =>
+      val expect = refText(t, vocab)
+      assert(native(id) == expect, s"native id=$id '$t'")
+      assert(hof(id) == expect, s"hof id=$id '$t'")
+    }
+    // longest-match + unknown fallback pinned on a known case:
+    // abcd -> 1; abcde -> abcd + e = 2; xyz -> 3 unknown chars
+    assert(native(902L) == 6L)
+    // probe-based selector resolves the native kernel on this session
+    assert(spark.catalog.functionExists("vocab_tokens"))
+  }
+
+  test("packChunks with orderSeed shuffles the concat order; vocab tokens feed the layout") {
+    val rows = (0L until 60L).map(i =>
+      (i, Seq.fill((i % 5 + 1).toInt)("abcd").mkString(" ")))
+    val df = rows.toDF("doc_id", "content")
+    val (chunk, shards, oseed) = (7, 4, 7L)
+    def run(d: org.apache.spark.sql.DataFrame) =
+      TextAnalysis.packChunks(d, "doc_id", "content", chunk, shards,
+          orderSeed = Some(oseed))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getLong(3), r.getLong(4), r.getLong(5))).sortBy(_._1).toSeq
+    val got = run(df)
+    // reference: same shards, but concat in unsigned splitmix(id^7) order
+    val expected = rows
+      .map { case (i, _) => (i, graft.core.Hashing.splitmix64(i ^ 42L) & (shards - 1L),
+        i % 5 + 1) }
+      .groupBy(_._2).values.flatMap { g =>
+        var cum = 0L
+        g.sortBy { case (id, _, _) =>
+          (graft.core.Hashing.splitmix64(id ^ oseed) ^ Long.MinValue, id)
+        }.map { case (id, sh, tok) =>
+          val start = cum; cum += tok
+          (id, sh, tok, start, start / chunk, (cum - 1) / chunk)
+        }
+      }.toSeq.sortBy(_._1)
+    assert(got == expected)
+    assert(run(df.repartition(5)) == got, "shuffled layout must be partition-invariant")
+    assert(got != TextAnalysis.packChunks(df, "doc_id", "content", chunk, shards)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5))).sortBy(_._1).toSeq,
+      "orderSeed must actually permute the layout")
+    // vocab-driven token counts flow through: "abcd" = 1 piece in this vocab
+    val viaVocab = TextAnalysis.packChunks(df, "doc_id", "content", chunk, shards,
+        vocab = Some(Seq("abcd")), orderSeed = Some(oseed))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5))).sortBy(_._1).toSeq
+    assert(viaVocab == got, "a vocab tokenizing abcd to 1 token must match the 4-char stand-in here")
+  }
+
   test("rolling fingerprint is deterministic and content-sensitive") {
     val a = TextAnalysis.rollingFingerprint("one two three")
     assert(a == TextAnalysis.rollingFingerprint("one two three"))

@@ -104,6 +104,26 @@ class SamplingSpec extends AnyFunSuite with SparkTestBase {
     assert(got == Set(1L, 2L, 3L))
   }
 
+  test("globalShuffleRank is the exact global unsigned-hash rank; repartition-stable") {
+    // sparse, sign-crossing ids so the arithmetic-shift bucketing and the
+    // unsigned sort order are both genuinely exercised
+    val rnd = new scala.util.Random(3)
+    val ids = (Seq.tabulate(500)(_ => rnd.nextLong()) ++ Seq(0L, -1L, Long.MaxValue,
+      Long.MinValue + 1)).distinct
+    val d = ids.map(i => (i, s"r$i")).toDF("doc_id", "payload")
+    val got = Sampling.globalShuffleRank(d, "doc_id", seed = 9L, buckets = 16)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("shuffle_pos")).toMap
+    val expected = ids
+      .sortBy(i => (graft.core.Hashing.splitmix64(i ^ 9L) ^ Long.MinValue, i))
+      .zipWithIndex.map { case (i, p) => i -> p.toLong }.toMap
+    assert(got == expected)
+    // every position exactly once (the stitching can't duplicate or gap)
+    assert(got.values.toSeq.sorted == ids.indices.map(_.toLong))
+    val re = Sampling.globalShuffleRank(d.repartition(13), "doc_id", seed = 9L, buckets = 16)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("shuffle_pos")).toMap
+    assert(re == expected, "rank must be partition-invariant")
+  }
+
   test("the gate stays inside whole-stage codegen (native expression, no UDF)") {
     // a Range-backed frame: a local Seq collapses to LocalTableScan via
     // ConvertToLocalRelation, hiding the codegen span under test
