@@ -18,7 +18,10 @@ object PlanCheck {
       "samp01_stratified", "samp02_quota", "txt05_repetition",
       "ann04_kmeans", "ann05_ivf_trained",
       "q16_cube", "q17_asof_bucketed", "q18_interval_dropped",
-      "txt06_redact", "dd07_decontam", "pack01_chunks")) {
+      "txt06_redact", "dd07_decontam", "pack01_chunks",
+      // round 5
+      "dd08_para_spans", "dd09_para_strip", "txt07_vocab_tokens",
+      "pack02_vocab_shuffled", "shuf01_global_shuffle", "mm02_quarantine")) {
       println(s"===== $q")
       val df = graft.SparkEntry.queries(q)(spark, dir)
       df.collect()

@@ -234,6 +234,42 @@ class EventStreamSpec extends AnyFunSuite with SparkTestBase {
     assert(got.subsetOf(batch))
   }
 
+  test("interval pairs survive width > idle TTL with a null-ts-only batch (timeout clamp)") {
+    // round-4 advice: with widthUs >= idleTtlSeconds*1e6, a batch that
+    // delivers ONLY null-ts rows for a key computes its timeout horizon
+    // from stale retained events (as low as watermark - width), so the
+    // raw timeout lands AT or BEFORE the watermark and Spark kills the
+    // query with IllegalArgumentException. The clamp keeps it strictly
+    // above. Three batches: (1) user 7's events set its state, (2) user
+    // 8 advances the watermark far past user 7's horizon + TTL, (3) a
+    // null-ts row for user 7 forces the stale-horizon timeout update.
+    val dir = java.nio.file.Files.createTempDirectory("ivl-clamp").toString
+    def write(name: String, rows: Seq[(Long, java.sql.Timestamp, Long)], mtime: Long): Unit = {
+      val p = s"$dir/$name"
+      rows.map { case (id, t, user) => (id, t, user, "e", 0.0) }
+        .toDF("event_id", "ts", "user_id", "event_type", "value")
+        .coalesce(1).write.mode("overwrite").parquet(p)
+      new java.io.File(p).listFiles().foreach(_.setLastModified(mtime))
+    }
+    write("b1", Seq((1L, ts(10000L), 7L), (2L, ts(10001L), 7L)), 1000000L)
+    write("b2", Seq((8L, ts(10090L), 8L)), 2000000L)
+    write("b3", Seq((9L, null, 7L)), 3000000L)
+    val src = spark.readStream.schema(spark.read.parquet(s"$dir/b1").schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(s"$dir/*").as[EventStream.Event]
+    // width 100s > TTL 10s; watermark delay 0 so it tracks max event time
+    val q = EventStream.intervalPairsStreaming(src, widthUs = 100L * 1000000L,
+        watermark = "0 seconds", idleTtlSeconds = 10L)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("ivl_clamp")
+      .trigger(Trigger.AvailableNow()).start()
+    assert(q.awaitTermination(120000), "query died — the timeout clamp regressed")
+    assert(q.exception.isEmpty, s"query failed: ${q.exception}")
+    val got = spark.table("ivl_clamp").collect()
+      .map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))).toSet
+    assert(got == Set((1L, 2L)), s"only the b1 pair is in width: $got")
+  }
+
   test("streaming dedup keeps first occurrence per key; state bounded by watermark") {
     val dir = java.nio.file.Files.createTempDirectory("dedup-stream").toString
     val base = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
