@@ -248,13 +248,13 @@ object Bench {
       // round-3 operators: as-of window join, bucketed interval join,
       // quota sampling, quantized k-means training
       "q11_asof_join", "q12_interval_join", "samp02_quota", "ann04_kmeans")
-    def onePass(timed: Boolean): Map[String, Double] =
+    def onePass(): Map[String, Double] =
       headline.map { name =>
         SparkEntry.clearFrameCache(spark)
         name -> time(SparkEntry.queries(name)(spark, sfDir).count())._2
       }.toMap
-    onePass(timed = false) // warmup: codegen compile, JIT, page cache
-    val passes = (1 to 3).map(_ => onePass(timed = true))
+    onePass() // warmup pass, result discarded: codegen compile, JIT, page cache
+    val passes = (1 to 3).map(_ => onePass())
     val queryTimes = headline.map { name => name -> passes.map(_(name)).min }
     val queryReps = headline.map { name =>
       "\"" + name + "\":" + passes.map(p => f"${p(name)}%.3f").mkString("[", ",", "]")

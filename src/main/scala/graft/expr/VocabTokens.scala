@@ -27,10 +27,19 @@ import org.apache.spark.unsafe.types.UTF8String
 object VocabTokensEval {
 
   /** Parse a comma-separated vocab into distinct pieces, longest first
-    * (so the first match in scan order IS the longest match). */
-  def parse(csv: String): Array[String] =
-    csv.split(",").iterator.map(_.trim).filter(_.nonEmpty)
+    * (so the first match in scan order IS the longest match). Pieces must
+    * be BMP-only: the scan walks UTF-16 char indices, and a BMP-only
+    * vocab makes char-advance == codepoint-advance for matches (a BMP
+    * char never equals half a surrogate pair, so a piece can't match
+    * mid-codepoint) — which is what keeps this kernel bit-identical to
+    * the codepoint-based HOF twin and DuckDB oracle (review finding). */
+  def parse(csv: String): Array[String] = {
+    val pieces = csv.split(",").iterator.map(_.trim).filter(_.nonEmpty)
       .toArray.distinct.sortBy((p: String) => -p.length)
+    require(pieces.forall(p => p.codePointCount(0, p.length) == p.length),
+      "vocab pieces must not contain characters outside the Basic Multilingual Plane")
+    pieces
+  }
 
   def count(text: UTF8String, piecesDesc: Array[String]): Long =
     count(text.toString, piecesDesc)
@@ -56,16 +65,19 @@ object VocabTokensEval {
     var pos = start
     var cnt = 0L
     while (pos < end) {
-      var adv = 1
+      var adv = 0
       var k = 0
-      while (k < piecesDesc.length && adv == 1) {
+      while (k < piecesDesc.length && adv == 0) {
         val p = piecesDesc(k)
-        if (p.length > 1 && pos + p.length <= end && text.startsWith(p, pos))
-          adv = p.length
-        else if (p.length == 1 && text.charAt(pos) == p.charAt(0))
-          k = piecesDesc.length // 1-char piece matched: adv stays 1, stop
+        if (pos + p.length <= end && text.startsWith(p, pos)) adv = p.length
         k += 1
       }
+      // unknown fallback advances one CODEPOINT, not one UTF-16 unit: a
+      // supplementary character (surrogate pair) is ONE unknown token —
+      // matching the codepoint semantics of the HOF twin (Spark
+      // length/substr) and the DuckDB oracle (review finding: charAt
+      // advance counted an emoji as 2 tokens)
+      if (adv == 0) adv = Character.charCount(text.codePointAt(pos))
       pos += adv
       cnt += 1
     }

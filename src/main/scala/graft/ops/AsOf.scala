@@ -206,20 +206,24 @@ object AsOf {
       .select(kc :+ unix_micros(col("_adv_ts").cast("timestamp")).as("_adv_us"): _*)
     val perKey = both.groupBy(kc: _*).agg(
       count(lit(1)).as("_n"), min("_adv_us").as("_lo"), max("_adv_us").as("_hi"))
+    // coalesce everything: on an empty (or all-null-ts) input the global
+    // agg still emits ONE row, and the documented one-bit read
+    // (getAs[Boolean]("use_bucketed")) must not NPE on a null — empty
+    // input is definitionally the no-skew verdict (review finding)
     perKey.agg(
       max("_n").as("max_key_rows"),
       (sum("_n").cast("double") / count(lit(1))).as("mean_key_rows"),
       max_by(struct(col("_n"), (col("_hi") - col("_lo")).as("_span")), col("_n"))
         .as("_hot"))
       .select(
-        col("max_key_rows"),
-        col("mean_key_rows"),
-        (col("max_key_rows") / col("mean_key_rows")).as("skew_ratio"),
-        greatest(lit(1L),
+        coalesce(col("max_key_rows"), lit(0L)).as("max_key_rows"),
+        coalesce(col("mean_key_rows"), lit(0.0)).as("mean_key_rows"),
+        coalesce(col("max_key_rows") / col("mean_key_rows"), lit(1.0)).as("skew_ratio"),
+        coalesce(greatest(lit(1L),
           (col("_hot._span") /
             greatest(col("_hot._n").cast("double") / targetRowsPerBucket, lit(1.0))
-          ).cast("long")).as("recommended_bucket_width_us"),
-        (col("max_key_rows") / col("mean_key_rows") >= hotKeyThreshold &&
-          col("max_key_rows") > 2L * targetRowsPerBucket).as("use_bucketed"))
+          ).cast("long")), lit(1L)).as("recommended_bucket_width_us"),
+        coalesce(col("max_key_rows") / col("mean_key_rows") >= hotKeyThreshold &&
+          col("max_key_rows") > 2L * targetRowsPerBucket, lit(false)).as("use_bucketed"))
   }
 }

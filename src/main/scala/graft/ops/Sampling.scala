@@ -94,6 +94,12 @@ object Sampling {
     * so (bucket, key) lexicographic order IS the global hash order and
     * the stitched rank is exact.
     *
+    * Like [[AsOf.asofJoinBucketed]], the composition reads `df` TWICE
+    * (the bucket-count aggregation and the ranked join are separate
+    * subtrees) — for an expensive upstream frame (filtered/tokenized
+    * corpus rather than a raw scan), persist it before calling; the
+    * operator deliberately does not persist on the caller's behalf.
+    *
     * Requires `splitmix64` on the session ([[graft.expr.GraftExtensions]]). */
   def globalShuffleRank(df: DataFrame, idCol: String, seed: Long = 42L,
                         buckets: Int = 256): DataFrame = {

@@ -36,11 +36,30 @@ object TextAnalysis {
     "spark", "str", "eam", "tab", "le", "val", "ue", "vec", "tor",
     "win", "dow", "agg")
 
+  /** Both vocab paths must see the SAME pieces: the native kernel
+    * round-trips the vocab through a comma-CSV literal, so a piece
+    * containing a comma would be silently split there while the HOF twin
+    * matched it verbatim (review finding) — reject it at the API
+    * boundary. Whitespace padding is likewise rejected (the CSV parse
+    * trims), and pieces must be BMP-only (the native scan walks UTF-16
+    * units; see [[graft.expr.VocabTokensEval.parse]]). */
+  private def requireValidVocab(vocab: Seq[String]): Unit = {
+    require(vocab.nonEmpty, "vocab must not be empty")
+    vocab.foreach { p =>
+      require(p.nonEmpty && p.trim == p, s"vocab piece '$p' is empty or has outer whitespace")
+      require(!p.contains(","), s"vocab piece '$p' contains a comma (the CSV separator)")
+      require(p.codePointCount(0, p.length) == p.length,
+        s"vocab piece '$p' contains characters outside the Basic Multilingual Plane")
+    }
+  }
+
   /** Vocab-driven greedy longest-match subword count via the native
     * codegen expression (requires [[graft.expr.GraftExtensions]] on the
     * session; see [[graft.expr.VocabTokensEval]] for the exact rules). */
-  def vocabSubwordCount(text: Column, vocab: Seq[String]): Column =
+  def vocabSubwordCount(text: Column, vocab: Seq[String]): Column = {
+    requireValidVocab(vocab)
     graft.expr.functions.vocab_tokens(text, lit(vocab.mkString(",")))
+  }
 
   /** Bit-identical HOF twin of [[vocabSubwordCount]] for vanilla sessions
     * (the Similarity.cosineFor fallback pattern): pure built-ins, so it
@@ -53,8 +72,8 @@ object TextAnalysis {
     * matching rule per step is the same longest-first `when` chain the
     * native kernel and the DuckDB recursive-CTE oracle use. */
   def vocabSubwordCountHof(text: Column, vocab: Seq[String]): Column = {
-    val piecesDesc = vocab.map(_.trim).filter(_.nonEmpty).distinct
-      .sortBy((p: String) => -p.length)
+    requireValidVocab(vocab)
+    val piecesDesc = vocab.distinct.sortBy((p: String) => -p.length)
     aggregate(split(trim(text), " +"), lit(0L),
       (acc, w) => acc + vocabWordFold(w, piecesDesc))
   }

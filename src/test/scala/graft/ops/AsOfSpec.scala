@@ -167,6 +167,18 @@ class AsOfSpec extends AnyFunSuite with SparkTestBase {
     assert(!rowU.getAs[Boolean]("use_bucketed"))
   }
 
+  test("bucketAdvisor on empty or all-null-ts input returns a defined no-skew verdict") {
+    val empty = Seq.empty[(Long, java.sql.Timestamp, Long)].toDF("k", "ts", "event_id")
+    val nullTs = Seq((1L, null: java.sql.Timestamp, 1L)).toDF("k", "ts", "event_id")
+    for (df <- Seq(empty, nullTs)) {
+      val row = AsOf.bucketAdvisor(df, df, Seq("k"), "ts").head()
+      assert(!row.getAs[Boolean]("use_bucketed")) // must not NPE on null
+      assert(row.getAs[Long]("max_key_rows") == 0L)
+      assert(row.getAs[Double]("skew_ratio") == 1.0)
+      assert(row.getAs[Long]("recommended_bucket_width_us") == 1L)
+    }
+  }
+
   private def timestampOf(us: Long): java.sql.Timestamp =
     new java.sql.Timestamp(us / 1000)
 

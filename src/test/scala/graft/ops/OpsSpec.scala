@@ -453,6 +453,20 @@ class OpsSpec extends AnyFunSuite with SparkTestBase {
     assert(native(902L) == 6L)
     // probe-based selector resolves the native kernel on this session
     assert(spark.catalog.functionExists("vocab_tokens"))
+    // supplementary characters: one surrogate PAIR is one unknown token
+    // in BOTH kernels (the native scan walks UTF-16 units but its
+    // fallback advances a full codepoint — review finding: an emoji
+    // previously counted as 2 there and 1 in the codepoint-based HOF)
+    val emoji = Seq((0L, "😀 ab 😀😁")).toDF("id", "content")
+    val en = emoji.select(TextAnalysis.vocabSubwordCount($"content", vocab)).head().getLong(0)
+    val eh = emoji.select(TextAnalysis.vocabSubwordCountHof($"content", vocab)).head().getLong(0)
+    assert(en == 4L && eh == 4L, s"native=$en hof=$eh") // emoji + ab + 2 emoji
+    // malformed vocabs are rejected at the API boundary, not silently
+    // split by the CSV round-trip (review finding)
+    for (bad <- Seq(Seq("a,b"), Seq(" a"), Seq(""), Seq("a😀")))
+      intercept[IllegalArgumentException] {
+        TextAnalysis.vocabSubwordCount(lit("x"), bad)
+      }
   }
 
   test("packChunks with orderSeed shuffles the concat order; vocab tokens feed the layout") {
