@@ -2,7 +2,7 @@ package graft
 
 import graft.core.{Wfa, WfaWorkspace}
 import graft.oracle.DuckHash
-import graft.ops.{AsOf, Dedup, KMeans, Multimodal, RangeJoin, Sampling, Similarity, TextAnalysis}
+import graft.ops.{AsOf, Dedup, KMeans, Multimodal, RangeJoin, Sampling, Search, Similarity, TextAnalysis}
 import graft.pipeline.{Corpus, Er, ErConfig}
 import org.apache.spark.TaskContext
 import org.apache.spark.sql.{DataFrame, SparkSession}
@@ -843,6 +843,23 @@ object SparkEntry {
         .select(col("doc_id"), col("lang"), col("shuffle_pos"))
         .orderBy("doc_id")
     }),
+    "txt08_top_ngrams" -> ((s, dir) => {
+      // corpus-level boilerplate statistics: the 25 most repeated word
+      // 3-grams with total occurrences and distinct-doc counts — the
+      // audit that motivates dd08's window choice; deterministic at the
+      // k boundary via the (occurrences desc, gram) order
+      TextAnalysis.topNgrams(table(s, dir, "documents"),
+        contentCol = "text", idCol = "doc_id", n = 3, k = 25)
+    }),
+    "srch01_bm25" -> ((s, dir) => {
+      // log-free BM25 over a fixed query bag: every float op in the
+      // score is correctly-rounded IEEE (+,-,*,/ only), so the DuckDB
+      // twin matches bit-for-bit; terms become fixed-order COLUMNS
+      // (a sum over exploded term rows would be plan-dependent)
+      Search.bm25(table(s, dir, "documents"), "doc_id", "text",
+          terms = Seq("scan", "merge", "window", "customer"))
+        .orderBy("id")
+    }),
     "txt04_fingerprint" -> ((s, dir) => {
       table(s, dir, "documents")
         .select(col("doc_id"), TextAnalysis.fingerprint(col("text")).as("fp"))
@@ -1487,6 +1504,60 @@ object SparkEntry {
     "txt04_fingerprint" ->
       """SELECT doc_id, md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS fp
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "txt08_top_ngrams" ->
+      // 3-gram builder = the txt05 shape (range end-exclusive x slice
+      // end-inclusive); the (occurrences DESC, gram) order pins the
+      // 25-boundary deterministically on both sides
+      """WITH g AS (
+        |  SELECT doc_id AS id,
+        |    array_to_string(list_slice(ws, i, i + 2), ' ') AS gram
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        |       unnest(range(1, len(ws) - 1)) t(i))
+        |SELECT gram, count(*) AS occurrences, count(DISTINCT id) AS n_docs
+        |FROM g GROUP BY 1
+        |ORDER BY occurrences DESC, gram LIMIT 25""".stripMargin,
+    "srch01_bm25" ->
+      // every float op mirrored shape-for-shape against ops.Search.bm25
+      // (+,-,*,/ are correctly rounded IEEE => bit parity); constants
+      // appear as the same unfolded arithmetic (1.2 + 1.0, 1.0 - 0.75)
+      // the Scala side computes, not pre-folded decimals
+      """WITH w AS (SELECT doc_id AS id, string_split(text, ' ') AS ws FROM documents),
+        |tf AS (SELECT id, CAST(len(ws) AS BIGINT) AS dl,
+        |  CAST(len(list_filter(ws, x -> x = 'scan')) AS BIGINT) AS tf_0,
+        |  CAST(len(list_filter(ws, x -> x = 'merge')) AS BIGINT) AS tf_1,
+        |  CAST(len(list_filter(ws, x -> x = 'window')) AS BIGINT) AS tf_2,
+        |  CAST(len(list_filter(ws, x -> x = 'customer')) AS BIGINT) AS tf_3
+        |  FROM w),
+        |st AS (SELECT CAST(count(*) AS BIGINT) AS n_docs_total,
+        |  CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl,
+        |  CAST(sum(CASE WHEN tf_0 > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df_0,
+        |  CAST(sum(CASE WHEN tf_1 > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df_1,
+        |  CAST(sum(CASE WHEN tf_2 > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df_2,
+        |  CAST(sum(CASE WHEN tf_3 > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df_3
+        |  FROM tf)
+        |SELECT id, dl,
+        |    (CAST(n_docs_total AS DOUBLE) - CAST(tf_0_df AS DOUBLE) + 0.5)
+        |      / (CAST(tf_0_df AS DOUBLE) + 0.5)
+        |      * (CAST(tf_0 AS DOUBLE) * (1.2 + 1.0))
+        |      / (CAST(tf_0 AS DOUBLE) + 1.2 * ((1.0 - 0.75) + 0.75 * dl / avgdl))
+        |  + (CAST(n_docs_total AS DOUBLE) - CAST(tf_1_df AS DOUBLE) + 0.5)
+        |      / (CAST(tf_1_df AS DOUBLE) + 0.5)
+        |      * (CAST(tf_1 AS DOUBLE) * (1.2 + 1.0))
+        |      / (CAST(tf_1 AS DOUBLE) + 1.2 * ((1.0 - 0.75) + 0.75 * dl / avgdl))
+        |  + (CAST(n_docs_total AS DOUBLE) - CAST(tf_2_df AS DOUBLE) + 0.5)
+        |      / (CAST(tf_2_df AS DOUBLE) + 0.5)
+        |      * (CAST(tf_2 AS DOUBLE) * (1.2 + 1.0))
+        |      / (CAST(tf_2 AS DOUBLE) + 1.2 * ((1.0 - 0.75) + 0.75 * dl / avgdl))
+        |  + (CAST(n_docs_total AS DOUBLE) - CAST(tf_3_df AS DOUBLE) + 0.5)
+        |      / (CAST(tf_3_df AS DOUBLE) + 0.5)
+        |      * (CAST(tf_3 AS DOUBLE) * (1.2 + 1.0))
+        |      / (CAST(tf_3 AS DOUBLE) + 1.2 * ((1.0 - 0.75) + 0.75 * dl / avgdl))
+        |  AS score
+        |FROM (SELECT tf.*, st.n_docs_total, st.avgdl,
+        |        st.df_0 AS tf_0_df, st.df_1 AS tf_1_df,
+        |        st.df_2 AS tf_2_df, st.df_3 AS tf_3_df
+        |      FROM tf, st)
+        |ORDER BY id""".stripMargin,
     "pack01_chunks" ->
       // subword expr = txt03's; shard mask 7 on a power of two agrees
       // signed/unsigned (samp01); windowed sum(BIGINT) is HUGEINT in

@@ -276,6 +276,35 @@ object TextAnalysis {
         expr(s"(cum - 1) div ${chunkTokens}L").as("last_chunk"))
   }
 
+  /** Corpus-level top-k most repeated word n-grams — the statistics
+    * operator behind boilerplate discovery (it's how you would CHOOSE
+    * [[Dedup.paragraphSpans]]'s window, audit a scrape for template
+    * chrome, or build a stop-gram list for
+    * [[Dedup.ngramContamination]]). Counts are total occurrences
+    * (within-document repeats included) plus the distinct-document
+    * count; deterministic order (occurrences desc, then gram) makes the
+    * k-boundary stable.
+    *
+    * Scale shape: explode to skinny (id, gram) rows, ONE
+    * map-side-combinable groupBy (count + exact distinct-id count —
+    * the dd08 discipline), and the top-k is `orderBy.limit`, which
+    * Spark executes as TakeOrderedAndProject (per-partition top-k
+    * merged on the driver — k rows, never a global sort). */
+  def topNgrams(docs: DataFrame, contentCol: String = "content",
+                idCol: String = "id", n: Int = 3, k: Int = 20): DataFrame = {
+    require(n >= 1 && k >= 1)
+    val words = split(col(contentCol), " ")
+    val grams = when(size(words) >= n,
+      transform(sequence(lit(1), size(words) - n + 1),
+        i => array_join(slice(words, i, lit(n)), " ")))
+      .otherwise(array().cast("array<string>"))
+    docs.select(col(idCol).as("id"), explode(grams).as("gram"))
+      .groupBy("gram")
+      .agg(count(lit(1)).as("occurrences"), countDistinct(col("id")).as("n_docs"))
+      .orderBy(col("occurrences").desc, col("gram"))
+      .limit(k)
+  }
+
   /** Content fingerprint: md5 of whitespace-normalized lowercase text
     * (near-dup-stable normalization + hash; SQL-mirrorable). */
   def fingerprint(text: Column): Column =

@@ -21,7 +21,8 @@ object PlanCheck {
       "txt06_redact", "dd07_decontam", "pack01_chunks",
       // round 5
       "dd08_para_spans", "dd09_para_strip", "txt07_vocab_tokens",
-      "pack02_vocab_shuffled", "shuf01_global_shuffle", "mm02_quarantine")) {
+      "pack02_vocab_shuffled", "shuf01_global_shuffle", "mm02_quarantine",
+      "txt08_top_ngrams", "srch01_bm25")) {
       println(s"===== $q")
       val df = graft.SparkEntry.queries(q)(spark, dir)
       df.collect()

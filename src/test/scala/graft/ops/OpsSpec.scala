@@ -507,6 +507,61 @@ class OpsSpec extends AnyFunSuite with SparkTestBase {
     assert(viaVocab == got, "a vocab tokenizing abcd to 1 token must match the 4-char stand-in here")
   }
 
+  test("topNgrams: counts, distinct docs, and the deterministic k-boundary") {
+    val d = Seq(
+      (0L, "a b c a b c x"),   // "a b c" twice (overlapping scan), "b c a", "c a b", "b c x"
+      (1L, "a b c d"),
+      (2L, "zz zz zz zz")      // "zz zz zz" twice, within one doc
+    ).toDF("id", "content")
+    val got = TextAnalysis.topNgrams(d, n = 3, k = 3).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    // occurrences: "a b c" = 2 (doc0) + 1 (doc1) = 3 over 2 docs;
+    // "zz zz zz" = 2 in 1 doc; ties at 1 broken by gram asc
+    assert(got(0) == (("a b c", 3L, 2L)))
+    assert(got(1) == (("zz zz zz", 2L, 1L)))
+    assert(got(2) == (("b c a", 1L, 1L))) // alphabetically first of the 1s
+  }
+
+  test("bm25: matches an independent fixed-order reference; ranking sanity") {
+    val docs = Seq(
+      (0L, "scan scan scan filter"),
+      (1L, "scan filter group"),
+      (2L, "merge sort order by"),
+      (3L, "group by order")).toDF("id", "content")
+    val terms = Seq("scan", "merge")
+    val got = Search.bm25(docs, "id", "content", terms).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    // independent reference with the SAME operation order (IEEE ops are
+    // deterministic, so equality is exact ==, no tolerance)
+    val texts = Map(0L -> "scan scan scan filter", 1L -> "scan filter group",
+      2L -> "merge sort order by", 3L -> "group by order")
+    val dls = texts.view.mapValues(_.split(" ").length.toLong).toMap
+    val n = texts.size.toLong
+    val avgdl = dls.values.sum.toDouble / n
+    def tf(t: String, id: Long) = texts(id).split(" ").count(_ == t).toLong
+    def df(t: String) = texts.keys.count(id => tf(t, id) > 0).toLong
+    val (k1, b) = (1.2, 0.75)
+    texts.keys.foreach { id =>
+      val expect = terms.map { t =>
+        val tfd = tf(t, id).toDouble
+        val dfd = df(t).toDouble
+        val idf = (n.toDouble - dfd + 0.5) / (dfd + 0.5)
+        idf * (tfd * (k1 + 1.0)) /
+          (tfd + k1 * ((1.0 - b) + b * dls(id) / avgdl))
+      }.reduce(_ + _)
+      assert(got(id)._1 == dls(id))
+      assert(got(id)._2 == expect, s"doc $id: ${got(id)._2} != $expect")
+    }
+    // ranking sanity: the 3x-scan doc beats the 1x-scan doc beats no-scan
+    assert(got(0L)._2 > got(1L)._2 && got(1L)._2 > got(3L)._2)
+    assert(got(2L)._2 > got(3L)._2) // merge-only doc scores via merge
+    // result is partition-invariant (fixed-order column sum, no exploded
+    // float aggregation)
+    val re = Search.bm25(docs.repartition(7), "id", "content", terms).collect()
+      .map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    texts.keys.foreach(id => assert(re(id) == got(id)._2))
+  }
+
   test("rolling fingerprint is deterministic and content-sensitive") {
     val a = TextAnalysis.rollingFingerprint("one two three")
     assert(a == TextAnalysis.rollingFingerprint("one two three"))
