@@ -800,6 +800,32 @@ object SparkEntry {
           md5(col("stripped")).as("stripped_md5"))
         .orderBy("id")
     }),
+    "dd10_decontaminated" -> ((s, dir) => {
+      // the materialized decontamination: surviving training ids after
+      // removing every dd07 hit — the anti-join that finishes dd07's
+      // find step (planted copies guarantee a non-trivial removal set)
+      val train = erInput(s, dir).select(col("id"), col("content"))
+      val bench = table(s, dir, "documents").where(col("doc_id") % 5 === 0)
+        .select(col("doc_id").as("id"), col("text").as("content"))
+      Dedup.decontaminate(train, bench, n = 3, minShared = 3, maxGramDf = 20)
+        .select(col("id")).orderBy("id")
+    }),
+    "txt09_domain_stats" -> ((s, dir) => {
+      // per-domain URL statistics over planted URLs (C4 domain-filter
+      // shape): %11 docs cite example.org, %3 docs cite one of five
+      // cdn<k>.example.net hosts, %33 both — counts and distinct-doc
+      // counts per domain are non-trivial and fully derived
+      val d = table(s, dir, "documents")
+      val planted = d.select(col("doc_id").as("id"),
+        concat(col("text"),
+          when(col("doc_id") % 11 === 0,
+            concat(lit(" see https://example.org/d"),
+              col("doc_id").cast("string"))).otherwise(lit("")),
+          when(col("doc_id") % 3 === 0,
+            concat(lit(" ref http://cdn"), (col("doc_id") % 5).cast("string"),
+              lit(".example.net/x"))).otherwise(lit(""))).as("content"))
+      TextAnalysis.domainStats(planted).orderBy("domain")
+    }),
     "pack01_chunks" -> ((s, dir) => {
       // token-level sequence packing: 8 hash shards, 256-token chunks —
       // every document's landing position in the packed training stream,
@@ -1720,6 +1746,51 @@ object SparkEntry {
          |       ELSE len(string_split(stripped, ' ')) END AS BIGINT) AS n_kept_words,
          |  md5(stripped) AS stripped_md5
          |FROM r ORDER BY id""".stripMargin,
+    "dd10_decontaminated" ->
+      // the dd07 CTE chain + NOT IN — survivors after removing flagged
+      // training docs
+      s"""$ErCorpusCte,
+         |bench AS (SELECT doc_id AS id, text AS content FROM documents
+         |          WHERE doc_id % 5 = 0),
+         |tg AS (
+         |  SELECT DISTINCT id, g AS gram FROM (
+         |    SELECT id, array_to_string(
+         |      list_slice(string_split(content, ' '), i, i + 2), ' ') AS g
+         |    FROM corpus, unnest(range(1, len(string_split(content, ' ')) - 1)) AS t(i))),
+         |bg AS (
+         |  SELECT DISTINCT id, g AS gram FROM (
+         |    SELECT id, array_to_string(
+         |      list_slice(string_split(content, ' '), i, i + 2), ' ') AS g
+         |    FROM bench, unnest(range(1, len(string_split(content, ' ')) - 1)) AS t(i))),
+         |rare AS (
+         |  SELECT gram FROM (
+         |    SELECT gram, count(*) AS gdf FROM (
+         |      SELECT id, gram FROM tg UNION ALL SELECT id, gram FROM bg)
+         |    GROUP BY 1) WHERE gdf <= 20),
+         |flagged AS (
+         |  SELECT t.id FROM tg t JOIN rare USING (gram)
+         |  JOIN bg b USING (gram)
+         |  WHERE t.id <> b.id
+         |  GROUP BY t.id, b.id HAVING count(*) >= 3)
+         |SELECT id FROM corpus
+         |WHERE id NOT IN (SELECT id FROM flagged)
+         |ORDER BY id""".stripMargin,
+    "txt09_domain_stats" ->
+      """WITH planted AS (
+        |  SELECT doc_id AS id,
+        |    text ||
+        |    CASE WHEN doc_id % 11 = 0
+        |         THEN ' see https://example.org/d' || CAST(doc_id AS VARCHAR)
+        |         ELSE '' END ||
+        |    CASE WHEN doc_id % 3 = 0
+        |         THEN ' ref http://cdn' || CAST(doc_id % 5 AS VARCHAR) || '.example.net/x'
+        |         ELSE '' END AS content
+        |  FROM documents),
+        |u AS (
+        |  SELECT id, unnest(regexp_extract_all(content, 'https?://([^/ ]+)', 1)) AS domain
+        |  FROM planted)
+        |SELECT domain, count(*) AS n_urls, count(DISTINCT id) AS n_docs
+        |FROM u GROUP BY 1 ORDER BY 1""".stripMargin,
     "txt05_repetition" ->
       // DuckDB range() is end-exclusive (Spark sequence is inclusive) and
       // list_slice's end is inclusive: range(1, len-1) x slice(i, i+2)

@@ -221,6 +221,20 @@ object Dedup {
       .drop("_bad", "content")
   }
 
+  /** Materialize the decontamination: the training corpus with every
+    * document that [[ngramContamination]] flags removed — the anti-join
+    * that turns the finder's (train_id, bench_id) evidence into the
+    * clean corpus a run actually trains on (the dd06/dd09 pattern:
+    * every finder gets its materializer). The flagged-id set rides the
+    * anti-join as a skinny distinct column; at real scale it is small
+    * relative to the corpus and AQE broadcasts it. */
+  def decontaminate(train: DataFrame, bench: DataFrame, n: Int = 3,
+                    minShared: Int = 2, maxGramDf: Int = 100): DataFrame = {
+    val flagged = ngramContamination(train, bench, n, minShared, maxGramDf)
+      .select(col("train_id").as("id")).distinct()
+    train.join(flagged, Seq("id"), "left_anti")
+  }
+
   /** Materialize the dedup: one survivor (the minimum id) per connected
     * component of the near-dup pair graph, singletons kept. Composes the
     * ER clustering (large-star/small-star CC — O(log n) shuffle-bounded

@@ -305,6 +305,23 @@ object TextAnalysis {
       .limit(k)
   }
 
+  /** Per-domain URL statistics — the aggregation behind C4-style domain
+    * filtering (block-lists, per-domain caps, source-mix reports): every
+    * URL in every document is reduced to its host, then ONE
+    * map-side-combinable groupBy yields total mentions and distinct
+    * citing documents per domain. The URL->host extraction is a single
+    * codegen'd regexp (Java/RE2 dialect intersection, like [[redact]]'s
+    * patterns), so the whole operator is one scan + one combinable
+    * shuffle of skinny (domain, id) rows. */
+  val UrlHostRe = "https?://([^/ ]+)"
+
+  def domainStats(docs: DataFrame, contentCol: String = "content",
+                  idCol: String = "id"): DataFrame =
+    docs.select(col(idCol).as("id"),
+        explode(regexp_extract_all(col(contentCol), lit(UrlHostRe), lit(1))).as("domain"))
+      .groupBy("domain")
+      .agg(count(lit(1)).as("n_urls"), countDistinct(col("id")).as("n_docs"))
+
   /** Content fingerprint: md5 of whitespace-normalized lowercase text
     * (near-dup-stable normalization + hash; SQL-mirrorable). */
   def fingerprint(text: Column): Column =

@@ -562,6 +562,35 @@ class OpsSpec extends AnyFunSuite with SparkTestBase {
     texts.keys.foreach(id => assert(re(id) == got(id)._2))
   }
 
+  test("decontaminate removes exactly the flagged training docs") {
+    val train = Seq(
+      (0L, "alpha beta gamma delta epsilon zeta"),  // = bench doc 100 -> flagged
+      (1L, "one two three four five six"),          // clean
+      (2L, "alpha beta gamma delta nine ten")).toDF("id", "content") // shares rare grams
+    val bench = Seq((100L, "alpha beta gamma delta epsilon zeta"))
+      .toDF("id", "content")
+    val survivors = Dedup.decontaminate(train, bench, n = 3, minShared = 2, maxGramDf = 10)
+      .select("id").as[Long].collect().toSet
+    assert(survivors == Set(1L))
+    // and it matches the finder: survivors == train \ flagged
+    val flagged = Dedup.ngramContamination(train, bench, 3, 2, 10)
+      .select("train_id").as[Long].collect().toSet
+    assert(survivors == Set(0L, 1L, 2L) -- flagged)
+  }
+
+  test("domainStats: hosts extracted per URL, totals and distinct docs") {
+    val d = Seq(
+      (0L, "see https://a.example.org/x and http://b.example.net/y"),
+      (1L, "again https://a.example.org/z here"),
+      (2L, "no urls at all"),
+      (3L, "twice https://a.example.org/1 https://a.example.org/2")).toDF("id", "content")
+    val got = TextAnalysis.domainStats(d).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got == Map(
+      "a.example.org" -> ((4L, 3L)),
+      "b.example.net" -> ((1L, 1L))))
+  }
+
   test("rolling fingerprint is deterministic and content-sensitive") {
     val a = TextAnalysis.rollingFingerprint("one two three")
     assert(a == TextAnalysis.rollingFingerprint("one two three"))
