@@ -781,6 +781,16 @@ object SparkEntry {
       Dedup.ngramContamination(train, bench, n = 3, minShared = 3, maxGramDf = 20)
         .orderBy("train_id", "bench_id")
     }),
+    "dd11_incremental" -> ((s, dir) => {
+      // incremental exact dedup: the dd04 batch (docs + exact copies of
+      // every 5th) against a snapshot holding every 3rd doc's sha —
+      // %15 content is both copied in-batch AND already known, %5-only
+      // collapses in-batch (batch_copies 2), %3-only is dropped by the
+      // snapshot anti-join, the rest pass through
+      val known = table(s, dir, "documents").where(col("doc_id") % 3 === 0)
+        .select(sha2(col("text"), 256).as("sha"))
+      Dedup.exactIncremental(dd04Input(s, dir), known).orderBy("sha")
+    }),
     "dd08_para_spans" -> ((s, dir) => {
       // paragraph-level exact dedup (Lee et al. intra-document
       // boilerplate): erInput's planted copies share every full 8-word
@@ -1710,6 +1720,15 @@ object SparkEntry {
          |WHERE t.id <> b.id
          |GROUP BY 1, 2 HAVING count(*) >= 3
          |ORDER BY 1, 2""".stripMargin,
+    "dd11_incremental" ->
+      s"""$Dd04Cte,
+         |known AS (SELECT DISTINCT sha256(text) AS sha FROM documents
+         |          WHERE doc_id % 3 = 0),
+         |hashed AS (SELECT id, sha256(content) AS sha FROM dd)
+         |SELECT sha, min(id) AS keep_id, count(*) AS batch_copies
+         |FROM hashed
+         |WHERE sha NOT IN (SELECT sha FROM known)
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
     "dd08_para_spans" ->
       s"""$ErCorpusCte,
          |$ParaSpansCtes

@@ -19,6 +19,24 @@ object Dedup {
       .groupBy("sha")
       .agg(min("id").as("keep_id"), count(lit(1)).as("copies"))
 
+  /** Incremental exact dedup: a NEW batch deduped against a prior corpus
+    * snapshot — the production shape ([[exact]] is the from-scratch
+    * variant; real pipelines dedup each crawl against everything already
+    * ingested). Two steps, both sha-keyed: an anti-join drops new docs
+    * whose content already exists in `knownShas` (at scale that's the
+    * running checkpoint table of corpus hashes — skinny, bucketable,
+    * append-only), then the surviving batch collapses to one row per
+    * distinct content exactly like [[exact]].
+    * @param knownShas any frame with a `sha` column (sha2-256 hex)
+    * @return (sha, keep_id, batch_copies) for content NOT in the
+    *         snapshot; `keep_id` = min id in the batch */
+  def exactIncremental(newDocs: DataFrame, knownShas: DataFrame,
+                       idCol: String = "id", contentCol: String = "content"): DataFrame =
+    newDocs.select(col(idCol).as("id"), sha2(col(contentCol), 256).as("sha"))
+      .join(knownShas.select(col("sha")).distinct(), Seq("sha"), "left_anti")
+      .groupBy("sha")
+      .agg(min("id").as("keep_id"), count(lit(1)).as("batch_copies"))
+
   /** MinHash-LSH near-dup candidate pairs with signature-estimated Jaccard
     * (the standard MMDS ch.3 pipeline). Scale shape (round-1 verdict):
     * skinny (band, bhash, id) rows ride the candidate join — signatures

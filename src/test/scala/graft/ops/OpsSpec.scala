@@ -562,6 +562,20 @@ class OpsSpec extends AnyFunSuite with SparkTestBase {
     texts.keys.foreach(id => assert(re(id) == got(id)._2))
   }
 
+  test("exactIncremental: snapshot anti-join then in-batch collapse") {
+    val batch = Seq(
+      (10L, "known content"),      // sha already in the snapshot -> dropped
+      (11L, "fresh content"),      // novel, unique
+      (12L, "repeated fresh"),     // novel, duplicated in-batch
+      (13L, "repeated fresh"),
+      (14L, "known content")).toDF("id", "content") // dup of a known -> dropped too
+    val known = Seq("known content").toDF("content")
+      .select(sha2(col("content"), 256).as("sha"))
+    val got = Dedup.exactIncremental(batch, known).collect()
+      .map(r => r.getLong(1) -> r.getLong(2)).toMap
+    assert(got == Map(11L -> 1L, 12L -> 2L))
+  }
+
   test("decontaminate removes exactly the flagged training docs") {
     val train = Seq(
       (0L, "alpha beta gamma delta epsilon zeta"),  // = bench doc 100 -> flagged
