@@ -797,15 +797,16 @@ object SparkEntry {
       // window except possibly the last (only 7 trailing CHARS differ),
       // so cross-document boilerplate spans are guaranteed; whole-doc
       // dd01-dd06 cannot see any of these
-      Dedup.paragraphSpans(erInput(s, dir).select(col("id"), col("content")))
+      Dedup.paragraphSpans(erInput(s, dir).select(col("id"), col("content")),
+          windowWords = ParaWindow)
         .orderBy("id", "para_idx")
     }),
     "dd09_para_strip" -> ((s, dir) => {
       // the materialized paragraph scrub: rebuild every document without
       // its boilerplate windows; md5 gates the full reconstructed text
       val docs = erInput(s, dir).select(col("id"), col("content"))
-      val spans = Dedup.paragraphSpans(docs)
-      Dedup.stripParagraphs(docs, spans)
+      val spans = Dedup.paragraphSpans(docs, windowWords = ParaWindow)
+      Dedup.stripParagraphs(docs, spans, windowWords = ParaWindow)
         .select(col("id"), col("n_words"), col("n_kept_words"),
           md5(col("stripped")).as("stripped_md5"))
         .orderBy("id")
@@ -947,19 +948,26 @@ object SparkEntry {
        |  FROM cand JOIN sigs sa ON sa.id = cand.id_a
        |            JOIN sigs sb ON sb.id = cand.id_b)""".stripMargin
 
-  /** Shared CTE chain (appended after [[ErCorpusCte]]): fixed 8-word
-    * paragraph windows, their sha256 keys, and the >= 2-distinct-doc
-    * boilerplate hashes — the DuckDB twin of Dedup.paragraphSpans.
-    * DuckDB range(0, n) is empty for n <= 0 (no Spark sequence
-    * down-counting trap to guard here). */
-  private val ParaSpansCtes =
-    """w AS (SELECT id, string_split(content, ' ') AS ws FROM corpus),
-      |p AS (
-      |  SELECT id, CAST(i AS BIGINT) AS para_idx,
-      |    sha256(array_to_string(list_slice(ws, i * 8 + 1, i * 8 + 8), ' ')) AS sha
-      |  FROM w, unnest(range(0, len(ws) // 8)) t(i)),
-      |pf AS (SELECT sha, count(DISTINCT id) AS n_docs FROM p GROUP BY 1
-      |       HAVING count(DISTINCT id) >= 2)""".stripMargin
+  /** Paragraph window width for dd08/dd09 — single source of truth for
+    * the Spark calls AND the oracle CTE (the ErBucketCap convention:
+    * a drifted literal would silently diverge the twin). */
+  private val ParaWindow = 8
+
+  /** Shared CTE chain (appended after [[ErCorpusCte]]): fixed
+    * [[ParaWindow]]-word paragraph windows, their sha256 keys, and the
+    * >= 2-distinct-doc boilerplate hashes — the DuckDB twin of
+    * Dedup.paragraphSpans. DuckDB range(0, n) is empty for n <= 0 (no
+    * Spark sequence down-counting trap to guard here). */
+  private lazy val ParaSpansCtes =
+    s"""w AS (SELECT id, string_split(content, ' ') AS ws FROM corpus),
+       |p AS (
+       |  SELECT id, CAST(i AS BIGINT) AS para_idx,
+       |    sha256(array_to_string(
+       |      list_slice(ws, i * $ParaWindow + 1, i * $ParaWindow + $ParaWindow),
+       |      ' ')) AS sha
+       |  FROM w, unnest(range(0, len(ws) // $ParaWindow)) t(i)),
+       |pf AS (SELECT sha, count(DISTINCT id) AS n_docs FROM p GROUP BY 1
+       |       HAVING count(DISTINCT id) >= 2)""".stripMargin
 
   /** Recursive-CTE greedy tokenizer — the DuckDB twin of
     * [[graft.expr.VocabTokensEval]] over [[TextAnalysis.VocabV1]], via a
@@ -1745,7 +1753,7 @@ object SparkEntry {
          |bad AS (SELECT id, list(DISTINCT para_idx) AS bad FROM spans GROUP BY 1),
          |sdoc AS (
          |  SELECT w.id, w.ws, coalesce(b.bad, CAST([] AS BIGINT[])) AS bad,
-         |         len(w.ws) // 8 AS np
+         |         len(w.ws) // $ParaWindow AS np
          |  FROM w LEFT JOIN bad b USING (id)),
          |r AS (
          |  SELECT id, CAST(len(ws) AS BIGINT) AS n_words,
@@ -1756,8 +1764,9 @@ object SparkEntry {
          |      list_concat(
          |        flatten(list_transform(
          |          list_filter(range(0, np), i -> NOT list_contains(bad, i)),
-         |          i -> list_slice(ws, i * 8 + 1, i * 8 + 8))),
-         |        list_slice(ws, np * 8 + 1, len(ws))),
+         |          i -> list_slice(ws, i * $ParaWindow + 1,
+         |                          i * $ParaWindow + $ParaWindow))),
+         |        list_slice(ws, np * $ParaWindow + 1, len(ws))),
          |      ' '), '') AS stripped
          |  FROM sdoc)
          |SELECT id, n_words,
