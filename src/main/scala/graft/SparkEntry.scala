@@ -549,6 +549,20 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    "samp03_token_budget" -> ((s, dir) => {
+      // greedy per-stratum token budget (the "N tokens of lang X" mixing
+      // recipe — quotas in tokens, not documents): two-phase stitched
+      // cumsum over the unsigned splitmix64 hash order, never one window
+      // task per stratum; tokens_before exposes the greedy walk itself to
+      // the oracle (value-level on the stitched running totals)
+      Sampling.tokenBudgetPerStratum(
+        table(s, dir, "documents")
+          .select(col("doc_id"), col("lang"),
+            size(split(col("text"), " ")).cast("long").as("n_tokens")),
+        "doc_id", "lang", "n_tokens", budget = 4096L)
+        .orderBy("doc_id")
+    }),
+
     "q10_json_props" -> ((s, dir) => {
       // JSON scalar functions over the events.props column (codegen'd
       // get_json_object; no UDF). try_cast, not cast: ANSI mode (Spark 4
@@ -1138,6 +1152,27 @@ object SparkEntry {
          |WHERE (h & 1023) <
          |  CASE lang WHEN 'en' THEN 256 WHEN 'zh' THEN 768 ELSE 512 END
          |ORDER BY doc_id""".stripMargin,
+    "samp03_token_budget" ->
+      // greedy budget walk: ORDER BY h compares UBIGINT (samp02's
+      // convention); the windowed sum is HUGEINT in DuckDB -> CAST
+      // (CLAUDE.md trap list); the exclusive frame (1 PRECEDING) makes
+      // tokens_before the running total BEFORE the row, so the row that
+      // crosses the budget is kept on both sides
+      s"""WITH g AS (
+         |  SELECT doc_id, lang,
+         |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+         |    ${DuckHash.splitmixCols(
+               "xor(CAST(doc_id AS UBIGINT), CAST(42 AS UBIGINT))", "tb")} AS h
+         |  FROM documents),
+         |c AS (
+         |  SELECT doc_id, lang, n_tokens,
+         |    CAST(coalesce(sum(n_tokens) OVER (
+         |      PARTITION BY lang ORDER BY h, doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+         |      AS tokens_before
+         |  FROM g)
+         |SELECT doc_id, lang, n_tokens, tokens_before FROM c
+         |WHERE tokens_before < 4096 ORDER BY doc_id""".stripMargin,
     "ann05_ivf_trained" ->
       s"""WITH km_q AS (
          |  SELECT vec_id,

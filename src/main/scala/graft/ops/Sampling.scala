@@ -57,11 +57,14 @@ object Sampling {
     * diverges. Integral types are the ones where the cast is guaranteed
     * lossless for every value; a null id still raises explicitly rather
     * than hashing to null. */
-  private[ops] def requireHashableId(df: DataFrame, idCol: String): Unit = {
+  private[ops] def requireHashableId(df: DataFrame, idCol: String): Unit =
+    requireIntegral(df, idCol, "id (deterministic hashing)")
+
+  private[ops] def requireIntegral(df: DataFrame, c: String, role: String): Unit = {
     import org.apache.spark.sql.types._
-    val dt = df.schema(idCol).dataType
+    val dt = df.schema(c).dataType
     require(Seq(LongType, IntegerType, ShortType, ByteType).contains(dt),
-      s"id column '$idCol' must be integral for deterministic hashing, got ${dt.simpleString}")
+      s"$role column '$c' must be integral, got ${dt.simpleString}")
   }
 
   private def hashableId(df: DataFrame, idCol: String) = {
@@ -127,6 +130,74 @@ object Sampling {
       .withColumn("_shuf_r", row_number().over(wB).cast("long"))
       .withColumn("shuffle_pos", col("_shuf_off") + col("_shuf_r") - 1L)
       .drop("_shuf_h", "_shuf_b", "_shuf_off", "_shuf_r")
+  }
+
+  /** Greedy token-budget sample per stratum: walk each stratum's rows in
+    * ascending unsigned splitmix64(id XOR seed) order and keep rows while
+    * the running token total BEFORE the row is under `budget` — the
+    * "N tokens of language X" mixing recipe (quotas in tokens, not
+    * documents; the row that crosses the budget is kept, so every stratum
+    * with any rows contributes at least one). Reproducible like
+    * [[stratified]]: the survivor set is a pure function of ids and token
+    * counts. Emits `tokens_before` (the exclusive running total) so
+    * callers — and the oracle — can audit the greedy walk itself.
+    *
+    * Scale shape: a single cumulative-sum window per stratum would funnel
+    * each stratum through ONE task (the repo-wide banned pathology), so
+    * the running total is stitched like [[globalShuffleRank]]'s rank:
+    * partial cumsums within (stratum, hash-prefix bucket) windows — each
+    * holds ~1/`buckets` of its stratum — plus per-bucket token totals
+    * whose own exclusive-prefix window runs over at most `buckets` rows
+    * per stratum (size-independent). Bucket = top bits of the sign-flipped
+    * hash (arithmetic shift, monotone in the sort order), so stitched
+    * totals are exact. The offsets side is strata x `buckets` skinny rows
+    * — no broadcast hint; AQE broadcasts it when small and falls back to a
+    * shuffle join for very wide strata universes. Like
+    * [[globalShuffleRank]], reads `df` twice — persist expensive upstream
+    * frames before calling.
+    *
+    * Requires `splitmix64` on the session ([[graft.expr.GraftExtensions]]).
+    * Token counts must be integral, non-null, and non-negative (a negative
+    * count would break the greedy walk's monotonicity — checked per row
+    * inside codegen, failing loud rather than sampling garbage). */
+  def tokenBudgetPerStratum(df: DataFrame, idCol: String, strataCol: String,
+                            tokensCol: String, budget: Long, seed: Long = 42L,
+                            buckets: Int = 256): DataFrame = {
+    require(budget > 0, "budget must be positive")
+    require(buckets >= 2 && (buckets & (buckets - 1)) == 0,
+      "buckets must be a power of two >= 2")
+    requireHashableId(df, idCol)
+    requireIntegral(df, tokensCol, "token count")
+    val clash = df.columns.toSet.intersect(
+      Set("_tb_h", "_tb_b", "_tb_t", "_tb_sum", "_tb_off", "_tb_prev", "tokens_before"))
+    require(clash.isEmpty, s"input columns collide with working names: $clash")
+    val shift = 64 - Integer.numberOfTrailingZeros(buckets)
+    val h = graft.expr.functions
+      .splitmix64(hashableId(df, idCol).bitwiseXOR(lit(seed)))
+      .bitwiseXOR(lit(Long.MinValue)) // ascending signed == ascending unsigned
+    val toks = when(col(tokensCol).isNull || col(tokensCol) < 0,
+      raise_error(lit(s"token count '$tokensCol' must be non-null and >= 0"))
+        .cast("long"))
+      .otherwise(col(tokensCol).cast("long"))
+    val withH = df.withColumn("_tb_t", toks)
+      .withColumn("_tb_h", h)
+      .withColumn("_tb_b", shiftright(col("_tb_h"), shift))
+    val offsets = withH.groupBy(col(strataCol), col("_tb_b"))
+      .agg(sum("_tb_t").as("_tb_sum"))
+      .withColumn("_tb_off",
+        coalesce(sum("_tb_sum").over(
+          Window.partitionBy(col(strataCol)).orderBy(col("_tb_b"))
+            .rowsBetween(Window.unboundedPreceding, -1)),
+          lit(0L)))
+      .select(col(strataCol), col("_tb_b"), col("_tb_off"))
+    val wB = Window.partitionBy(col(strataCol), col("_tb_b"))
+      .orderBy(col("_tb_h"), col(idCol))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    withH.join(offsets, Seq(strataCol, "_tb_b"))
+      .withColumn("_tb_prev", coalesce(sum("_tb_t").over(wB), lit(0L)))
+      .withColumn("tokens_before", col("_tb_off") + col("_tb_prev"))
+      .where(col("tokens_before") < budget)
+      .drop("_tb_h", "_tb_b", "_tb_t", "_tb_off", "_tb_prev")
   }
 
   /** Exact per-stratum quota: keep the `n` rows of each stratum with the

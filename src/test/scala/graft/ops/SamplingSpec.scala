@@ -124,6 +124,71 @@ class SamplingSpec extends AnyFunSuite with SparkTestBase {
     assert(re == expected, "rank must be partition-invariant")
   }
 
+  test("tokenBudgetPerStratum matches a sequential greedy walk; repartition-stable") {
+    // deterministic varied token counts; budget chosen to cut every stratum
+    // mid-way so the stitched cumsum is exercised across bucket boundaries
+    val toks = rows.map { case (id, lang) => (id, lang, (id % 37L) + 1L) }
+    val d = toks.toDF("doc_id", "lang", "n_tokens")
+    val budget = 600L
+    val got = Sampling.tokenBudgetPerStratum(d, "doc_id", "lang", "n_tokens",
+      budget, seed = 42L, buckets = 16)
+      .select("doc_id", "tokens_before").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // driver-side reference: per stratum, walk ascending (unsigned hash, id)
+    // keeping rows while the running total BEFORE the row is under budget
+    val expected = toks.groupBy(_._2).values.flatMap { xs =>
+      val sorted = xs.sortBy { case (id, _, _) =>
+        (Hashing.splitmix64(id ^ 42L) ^ Long.MinValue, id)
+      }
+      var cum = 0L
+      sorted.flatMap { case (id, _, t) =>
+        val keep = if (cum < budget) Some(id -> cum) else None
+        cum += t
+        keep
+      }
+    }.toMap
+    assert(got == expected)
+    // the crossing row is kept: some survivor has tokens_before + n_tokens > budget
+    val crossed = got.exists { case (id, before) => before + ((id % 37L) + 1L) > budget }
+    assert(crossed, "budget must cut at least one stratum mid-row")
+    val re = Sampling.tokenBudgetPerStratum(d.repartition(13), "doc_id", "lang",
+      "n_tokens", budget, seed = 42L, buckets = 16)
+      .select("doc_id", "tokens_before").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(re == expected, "survivor set must be partition-invariant")
+  }
+
+  test("tokenBudget: every non-empty stratum contributes at least one row") {
+    // one giant doc per stratum, far over budget — greedy keeps the first row
+    val d = Seq((1L, "en", 999999L), (2L, "zh", 999999L)).toDF("doc_id", "lang", "n_tokens")
+    val got = Sampling.tokenBudgetPerStratum(d, "doc_id", "lang", "n_tokens", 100L)
+      .select("lang").as[String].collect().toSet
+    assert(got == Set("en", "zh"))
+  }
+
+  test("tokenBudget rejects bad inputs loudly") {
+    val d = Seq((1L, "en", 5L)).toDF("doc_id", "lang", "n_tokens")
+    assert(intercept[IllegalArgumentException] {
+      Sampling.tokenBudgetPerStratum(d, "doc_id", "lang", "n_tokens", 0L)
+    }.getMessage.contains("budget"))
+    assert(intercept[IllegalArgumentException] {
+      Sampling.tokenBudgetPerStratum(d, "doc_id", "lang", "n_tokens", 10L, buckets = 3)
+    }.getMessage.contains("power of two"))
+    val dbl = Seq((1L, "en", 5.0)).toDF("doc_id", "lang", "n_tokens")
+    assert(intercept[IllegalArgumentException] {
+      Sampling.tokenBudgetPerStratum(dbl, "doc_id", "lang", "n_tokens", 10L)
+    }.getMessage.contains("integral"))
+    val neg = Seq((1L, "en", -5L)).toDF("doc_id", "lang", "n_tokens")
+    val e = intercept[Exception] {
+      Sampling.tokenBudgetPerStratum(neg, "doc_id", "lang", "n_tokens", 10L).collect()
+    }
+    assert(e.getMessage.contains(">= 0"))
+    val clash = Seq((1L, "en", 5L, 0L)).toDF("doc_id", "lang", "n_tokens", "tokens_before")
+    assert(intercept[IllegalArgumentException] {
+      Sampling.tokenBudgetPerStratum(clash, "doc_id", "lang", "n_tokens", 10L)
+    }.getMessage.contains("tokens_before"))
+  }
+
   test("the gate stays inside whole-stage codegen (native expression, no UDF)") {
     // a Range-backed frame: a local Seq collapses to LocalTableScan via
     // ConvertToLocalRelation, hiding the codegen span under test
