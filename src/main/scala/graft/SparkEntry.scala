@@ -672,6 +672,18 @@ object SparkEntry {
         .orderBy("id_a", "id_b")
     }),
 
+    "dd12_semantic_dedup" -> ((s, dir) => {
+      // SemDeDup (cluster-then-compare): quantized k-means cells + within-
+      // cell cosine, dup_of = smallest lower-id neighbor >= threshold.
+      // Exact-integer clustering + bit-identical cosine make even this
+      // composed pipeline value-level oracle-checkable; the 256 cluster
+      // cap is mirrored in the oracle's eligibility CTE (dd05's pattern).
+      Dedup.semanticDedup(
+          table(s, dir, "embeddings").select("vec_id", "embedding"),
+          k = 8, iters = 2, threshold = 0.4, maxCluster = 256)
+        .orderBy("vec_id")
+    }),
+
     // --- similarity search ---
     "ann01_topk" -> ((s, dir) => {
       val emb = table(s, dir, "embeddings")
@@ -1212,6 +1224,45 @@ object SparkEntry {
          |  JOIN emb ie ON ie.vec_id = a.item_id)
          |SELECT query_id, item_id, rank FROM ranked
          |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+    "dd12_semantic_dedup" ->
+      // the same two unrolled Lloyd iterations as ann04 feed the cluster
+      // spine; the 256 cap mirrors Buckets' eligibility (BETWEEN 2 AND
+      // 256: singleton cells pair with nothing either way); dup_of stays
+      // NULL for kept docs — the gate twin compares nulls explicitly
+      s"""WITH km_q AS (
+         |  SELECT vec_id,
+         |    list_transform(CAST(embedding AS DOUBLE[]),
+         |      x -> CAST(floor(x * 1000) AS BIGINT) + 2000) AS qv
+         |  FROM embeddings),
+         |km_c0 AS (
+         |  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS cell,
+         |         qv AS cv
+         |  FROM (SELECT vec_id, qv FROM km_q ORDER BY vec_id LIMIT 8)),
+         |${kmeansIterCtes("km_c0", 1)},
+         |${kmeansIterCtes("km_c1", 2)},
+         |asgn AS (
+         |  SELECT vec_id, cell FROM (
+         |    SELECT vec_id, cell,
+         |      row_number() OVER (PARTITION BY vec_id ORDER BY dist2, cell) AS rk
+         |    FROM (SELECT q.vec_id, c.cell,
+         |            list_sum(list_transform(range(1, 65),
+         |              i -> (q.qv[i] - c.cv[i]) * (q.qv[i] - c.cv[i]))) AS dist2
+         |          FROM km_q q, km_c2 c)) WHERE rk = 1),
+         |emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |csz AS (SELECT cell, count(*) AS n FROM asgn GROUP BY 1),
+         |elig AS (SELECT a.vec_id, a.cell FROM asgn a JOIN csz USING (cell)
+         |         WHERE n BETWEEN 2 AND 256),
+         |dup AS (
+         |  SELECT lb.vec_id, min(la.vec_id) AS dup_of
+         |  FROM elig la JOIN elig lb
+         |    ON la.cell = lb.cell AND la.vec_id < lb.vec_id
+         |  JOIN emb ea ON ea.vec_id = la.vec_id
+         |  JOIN emb eb ON eb.vec_id = lb.vec_id
+         |  WHERE list_cosine_similarity(ea.v, eb.v) >= 0.4
+         |  GROUP BY 1)
+         |SELECT a.vec_id, a.cell, d.dup_of
+         |FROM asgn a LEFT JOIN dup d USING (vec_id)
+         |ORDER BY a.vec_id""".stripMargin,
     "ann04_kmeans" ->
       s"""WITH km_q AS (
          |  SELECT vec_id,

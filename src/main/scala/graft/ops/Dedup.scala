@@ -266,6 +266,54 @@ object Dedup {
     docs.join(losers, Seq("id"), "left_anti")
   }
 
+  /** SemDeDup-style semantic dedup (Abbas et al. 2023, arXiv:2303.09540):
+    * cluster the embedding space with k-means, then mark a document a
+    * semantic duplicate iff a LOWER-id document in the SAME cluster is
+    * within cosine `threshold` — the paper's cluster-then-compare recipe
+    * with a deterministic keep-lowest-id tie-break in place of its
+    * centroid-distance heuristic (determinism is what makes it
+    * value-level oracle-able). Removal is by DIRECT neighbor, not
+    * transitive closure — that is SemDeDup's semantics and deliberately
+    * NOT [[dedupSurvivors]]'s connected components: a chain a~b~c with
+    * cos(a,c) < threshold keeps a and c.
+    *
+    * Scale shape: clustering is the quantized [[KMeans]] (broadcast
+    * centroids, one corpus scan per iteration, k x dim driver reduce);
+    * the within-cluster compare rides [[Buckets.cappedSelfJoinPairs]] on
+    * skinny (id, cell) rows — embeddings re-join onto deduped pairs only,
+    * and clusters above `maxCluster` members are dropped from pairing
+    * (size k to the corpus so the cap is headroom, not policy: SemDeDup
+    * at scale grows k with N precisely to keep clusters bounded). The
+    * assignment is persisted for the run (it feeds pair sizing, both
+    * join sides, and the output spine — the [[minHashPairs]] convention;
+    * the production path is a checkpointed stage table).
+    *
+    * @param embeddings (vec_id, embedding: array<float|double>), |x| < 2
+    *                   per [[KMeans.quantize]]'s default shift
+    * @return one row per input: (vec_id, cell, dup_of) — dup_of is the
+    *         smallest qualifying lower id, null for kept documents */
+  def semanticDedup(embeddings: DataFrame, k: Int = 8, iters: Int = 2,
+                    threshold: Double = 0.4, maxCluster: Int = 256): DataFrame = {
+    require(k >= 1 && iters >= 1 && maxCluster >= 2)
+    val emb = embeddings.select(col("vec_id"),
+      transform(col("embedding"), _.cast("double")).as("embedding"))
+    val q = KMeans.quantize(embeddings.select("vec_id", "embedding"))
+    val asgn = KMeans.assign(q, KMeans.train(q, k, iters))
+      .select(col("vec_id"), col("cell"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val pairs = Buckets.cappedSelfJoinPairs(
+      asgn.select(col("vec_id").as("id"), col("cell")), Seq("cell"), maxCluster)
+    val va = emb.select(col("vec_id").as("id_a"), col("embedding").as("va"))
+    val vb = emb.select(col("vec_id").as("id_b"), col("embedding").as("vb"))
+    val dup = pairs.join(va, "id_a").join(vb, "id_b")
+      .where(Similarity.cosineFor(embeddings.sparkSession)(col("va"), col("vb"))
+        >= threshold)
+      .groupBy(col("id_b").as("vec_id"))
+      .agg(min("id_a").as("dup_of"))
+    asgn.join(dup, Seq("vec_id"), "left_outer")
+      .select(col("vec_id"), col("cell"), col("dup_of"))
+  }
+
   /** Embedding cosine near-duplicate pairs, brute force — O(n²), a
     * BroadcastNestedLoopJoin. TEST-ONLY exactness oracle (round-2 verdict):
     * the blessed contract/scale path is [[Similarity.lshCosinePairs]]

@@ -123,6 +123,56 @@ class OpsSpec extends AnyFunSuite with SparkTestBase {
     assert(got.nonEmpty, "LSH should recover at least some near pairs here")
   }
 
+  test("semanticDedup: dup_of is the smallest lower-id same-cluster neighbor; cap and stability") {
+    // 60 deterministic vectors + 10 planted scaled copies (cosine ~ 1):
+    // the copies must be flagged, the driver-side reference pins the rest
+    val base = spark.range(60).select(col("id").as("vec_id"),
+      transform(sequence(lit(0), lit(15)),
+        i => (sin(col("vec_id") * 37 + i) + lit(2.0))).as("embedding"))
+    val twins = base.where(col("vec_id") < 10)
+      .select((col("vec_id") + 60).as("vec_id"),
+        transform(col("embedding"), x => x * 0.9).as("embedding"))
+    val vecs = base.unionAll(twins)
+    val got = Dedup.semanticDedup(vecs, k = 4, iters = 2,
+        threshold = 0.8, maxCluster = 70)
+      .collect().map(r => (r.getLong(0),
+        (r.getLong(1), if (r.isNullAt(2)) None else Some(r.getLong(2))))).toMap
+    // driver-side reference: clusters from the (ann04-pinned) KMeans path,
+    // cosine as the same sequential fold CosineEval runs
+    val q = KMeans.quantize(vecs)
+    val cellOf = KMeans.assign(q, KMeans.train(q, k = 4, iters = 2))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val vOf = vecs.collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0
+      for (i <- a.indices) { dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i) }
+      if (na == 0.0 || nb == 0.0) 0.0 else dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val ids = vOf.keys.toSeq.sorted
+    val expected = ids.map { id =>
+      val lower = ids.filter(o => o < id && cellOf(o) == cellOf(id) &&
+        cos(vOf(o), vOf(id)) >= 0.8)
+      id -> (cellOf(id), lower.headOption)
+    }.toMap
+    assert(got == expected)
+    // every planted twin is flagged against some same-cluster lower id
+    assert((60L to 69L).forall(id => got(id)._2.isDefined),
+      s"planted copies must be duplicates: ${(60L to 69L).map(got)}")
+    assert(got.values.exists(_._2.isEmpty), "kept documents must exist")
+    // binding cap: clusters above maxCluster pair nothing -> all kept
+    val capped = Dedup.semanticDedup(vecs, k = 4, iters = 2,
+        threshold = 0.8, maxCluster = 2)
+      .collect()
+    assert(capped.forall(_.isNullAt(2)), "over-cap clusters must not pair")
+    // partition-invariance (quantized k-means + distinct pairs)
+    val re = Dedup.semanticDedup(vecs.repartition(7), k = 4, iters = 2,
+        threshold = 0.8, maxCluster = 70)
+      .collect().map(r => (r.getLong(0),
+        (r.getLong(1), if (r.isNullAt(2)) None else Some(r.getLong(2))))).toMap
+    assert(re == expected)
+  }
+
   test("simhash: all-whitespace docs hash to 0 and pair with each other (oracle parity)") {
     val d = Seq((0L, "   \n\t "), (1L, " "), (2L, "real content here")).toDF("id", "content")
     val pairs = Dedup.simHashPairs(d, maxHamming = 3)
