@@ -817,6 +817,21 @@ object SparkEntry {
         .select(sha2(col("text"), 256).as("sha"))
       Dedup.exactIncremental(dd04Input(s, dir), known).orderBy("sha")
     }),
+    "dd13_incremental_bloom" -> ((s, dir) => {
+      // bloom-gated dd11: same batch/snapshot, same survivors (no false
+      // negatives), plus the bloom_maybe audit column — mBits=1024 is
+      // deliberately snug at gate scale so false positives actually occur
+      // and the bitmap itself is value-checked, not just the end result.
+      // bloom_maybe rides the contract as BIGINT 0/1, not BOOLEAN: the
+      // driver hash has no green precedent for booleans and the q01
+      // decimal lesson says don't pioneer a type in a contract surface
+      val known = table(s, dir, "documents").where(col("doc_id") % 3 === 0)
+        .select(sha2(col("text"), 256).as("sha"))
+      Dedup.exactIncrementalBloom(dd04Input(s, dir), known,
+          mBits = 1024, kHashes = 4)
+        .withColumn("bloom_maybe", col("bloom_maybe").cast("long"))
+        .orderBy("sha")
+    }),
     "dd08_para_spans" -> ((s, dir) => {
       // paragraph-level exact dedup (Lee et al. intra-document
       // boilerplate): erInput's planted copies share every full 8-word
@@ -1823,6 +1838,55 @@ object SparkEntry {
          |FROM hashed
          |WHERE sha NOT IN (SELECT sha FROM known)
          |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "dd13_incremental_bloom" ->
+      // dd11's survivors plus a value-level rebuild of the Bloom gate:
+      // position_j = splitmix64(hashString(sha) XOR tableSeed_j) & (m-1)
+      // (Hashing.bloomPositions), bitmap = bit_or over the snapshot's
+      // positions, bloom_maybe = all k probe bits set. Any drift between
+      // graft.core.Hashing and this SQL flips bloom_maybe on the false
+      // positives the snug mBits=1024 filter is sized to produce.
+      s"""$Dd04Cte,
+         |known AS (SELECT DISTINCT sha256(text) AS sha FROM documents
+         |          WHERE doc_id % 3 = 0),
+         |hashed AS (SELECT id, sha256(content) AS sha FROM dd),
+         |ts AS (  -- tableSeed(42, j) = splitmix64(42 + C * (j+1)), j < kHashes
+         |  SELECT j, ${DuckHash.splitmixCols(
+             DuckHash.addw("CAST(42 AS UBIGINT)",
+               DuckHash.mulw("6364136223846793005", "CAST(j + 1 AS UBIGINT)")), "w")} AS tseed
+         |  FROM unnest(range(0, 4)) t(j)),
+         |kb AS (  -- base = hashString(sha, 42): FNV-1a fold then splitmix64
+         |  SELECT sha, ${DuckHash.splitmixCols("f", "x")} AS base
+         |  FROM (SELECT sha, ${DuckHash.fnvString("sha", 42L)} AS f FROM known)),
+         |kpos AS (
+         |  SELECT kb.sha, ${DuckHash.splitmixCols("xor(base, tseed)", "y")} AS h,
+         |    h & CAST(1023 AS UBIGINT) AS pos
+         |  FROM kb, ts),
+         |bitmap AS (
+         |  SELECT pos >> 6 AS word_idx,
+         |    bit_or(CAST(1 AS UBIGINT) << CAST((pos & CAST(63 AS UBIGINT)) AS INT)) AS bits
+         |  FROM kpos GROUP BY 1),
+         |bb AS (
+         |  SELECT sha, ${DuckHash.splitmixCols("f", "x")} AS base
+         |  FROM (SELECT sha, ${DuckHash.fnvString("sha", 42L)} AS f
+         |        FROM (SELECT DISTINCT sha FROM hashed))),
+         |bpos AS (
+         |  SELECT bb.sha, ${DuckHash.splitmixCols("xor(base, tseed)", "y")} AS h,
+         |    h & CAST(1023 AS UBIGINT) AS pos
+         |  FROM bb, ts),
+         |bm AS (
+         |  SELECT sha, min(CASE WHEN bits IS NOT NULL AND
+         |      (bits & (CAST(1 AS UBIGINT) << CAST((pos & CAST(63 AS UBIGINT)) AS INT)))
+         |        <> CAST(0 AS UBIGINT)
+         |    THEN 1 ELSE 0 END) AS maybe
+         |  FROM bpos LEFT JOIN bitmap ON bitmap.word_idx = bpos.pos >> 6
+         |  GROUP BY sha),
+         |surv AS (
+         |  SELECT sha, min(id) AS keep_id, count(*) AS batch_copies
+         |  FROM hashed WHERE sha NOT IN (SELECT sha FROM known) GROUP BY 1)
+         |SELECT s.sha, s.keep_id, s.batch_copies,
+         |  CAST(m.maybe AS BIGINT) AS bloom_maybe
+         |FROM surv s JOIN bm m USING (sha)
+         |ORDER BY sha""".stripMargin,
     "dd08_para_spans" ->
       s"""$ErCorpusCte,
          |$ParaSpansCtes

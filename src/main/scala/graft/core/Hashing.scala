@@ -143,4 +143,17 @@ object Hashing {
     * hyperplane tables (union of per-table candidates raises recall). */
   @inline def tableSeed(seed: Long, table: Int): Long =
     splitmix64(seed + 0x5851F42D4C957F2DL * (table + 1))
+
+  /** The `kHashes` Bloom-filter bit positions of string `s` in an
+    * `mBits`-bit filter (mBits a power of two, so the mask is exact in
+    * signed and unsigned arithmetic alike): position_j =
+    * splitmix64(hashString(s) XOR tableSeed_j) & (mBits - 1) — the same
+    * one-base-hash-many-mixes construction as [[minHashSignature]].
+    * Mirrored bit-for-bit by the dd13 oracle's UHUGEINT SQL (DuckHash
+    * rule: change both together). */
+  def bloomPositions(s: String, mBits: Int, kHashes: Int, seed: Long): Array[Long] = {
+    val base = hashString(s, seed)
+    Array.tabulate(kHashes)(j =>
+      splitmix64(base ^ tableSeed(seed, j)) & (mBits - 1).toLong)
+  }
 }

@@ -37,6 +37,88 @@ object Dedup {
       .groupBy("sha")
       .agg(min("id").as("keep_id"), count(lit(1)).as("batch_copies"))
 
+  /** Deterministic Bloom-filter bitmap over a `sha` column, as a skinny
+    * (word_idx, bits) table of at most `mBits`/64 rows — the broadcastable
+    * membership sketch for [[exactIncrementalBloom]]. Bit positions come
+    * from [[graft.core.Hashing.bloomPositions]] (splitmix64 mixes of one
+    * FNV base hash), so the DuckDB oracle reproduces the bitmap exactly.
+    * Build is one map-side-combinable groupBy of (word, bit) rows. */
+  def bloomBitmap(shas: DataFrame, mBits: Int = 1 << 22, kHashes: Int = 4,
+                  seed: Long = 42L): DataFrame = {
+    require(mBits >= 64 && (mBits & (mBits - 1)) == 0,
+      "mBits must be a power of two >= 64")
+    require(kHashes >= 1, "kHashes must be positive")
+    val spark = shas.sparkSession
+    import spark.implicits._
+    shas.select(col("sha").as[String])
+      .flatMap(s => Hashing.bloomPositions(s, mBits, kHashes, seed))
+      .toDF("pos")
+      .select(shiftright(col("pos"), 6).as("word_idx"),
+        expr("shiftleft(CAST(1 AS BIGINT), CAST(pos % 64 AS INT))").as("bit"))
+      .groupBy("word_idx")
+      .agg(expr("bit_or(bit)").as("bits"))
+  }
+
+  /** Probe `hashed`(id, sha) against a [[bloomBitmap]]: (id, sha,
+    * bloom_maybe). `bloom_maybe` = every one of the row's `kHashes` bits
+    * is set — false means DEFINITELY absent (Bloom filters have no false
+    * negatives), true means "check the authoritative store". `mBits` /
+    * `kHashes` / `seed` must match the bitmap's build parameters. The
+    * probe ships k skinny (id, word, bit) rows per doc into an equi-join
+    * on word_idx; the bitmap side is tiny (mBits/64 rows — 16 MB of longs
+    * at 2^30 bits) and broadcasts. Past broadcast size (~10^11 bits for
+    * 10^10 known keys at 10 bits/key) the same plan degrades gracefully
+    * to a shuffled equi-join on word_idx — a word-partitioned distributed
+    * Bloom filter — which is why the probe is a join rather than a
+    * driver-collected bitmap in a UDF. */
+  def bloomProbe(hashed: DataFrame, bitmap: DataFrame, mBits: Int = 1 << 22,
+                 kHashes: Int = 4, seed: Long = 42L): DataFrame = {
+    val spark = hashed.sparkSession
+    import spark.implicits._
+    val probes = hashed.select(col("id").as[Long], col("sha").as[String])
+      .flatMap { case (id, s) =>
+        Hashing.bloomPositions(s, mBits, kHashes, seed).map(p => (id, s, p))
+      }
+      .toDF("id", "sha", "pos")
+      .select(col("id"), col("sha"), shiftright(col("pos"), 6).as("word_idx"),
+        expr("shiftleft(CAST(1 AS BIGINT), CAST(pos % 64 AS INT))").as("bit"))
+    probes.join(bitmap, Seq("word_idx"), "left_outer")
+      .withColumn("hit",
+        coalesce(col("bits").bitwiseAND(col("bit")) =!= 0, lit(false)))
+      .groupBy("id", "sha")
+      .agg(min(col("hit")).as("bloom_maybe"))
+  }
+
+  /** Bloom-gated incremental exact dedup — [[exactIncremental]]'s 100-TB
+    * shape: at scale the snapshot of known content hashes is itself huge,
+    * and anti-joining EVERY new document against it shuffles the whole
+    * batch. A Bloom bitmap built from the snapshot routes documents
+    * first: definitely-new docs (most of a typical crawl) skip the
+    * anti-join entirely; only the "maybe known" residue — true hits plus
+    * the filter's false-positive rate — pays the full lookup. No false
+    * negatives means the result is EXACTLY [[exactIncremental]]'s
+    * (spec-pinned equality), plus a `bloom_maybe` audit column: a
+    * surviving row with bloom_maybe=true is a measured false positive,
+    * so the filter's precision is observable in the output. Size `mBits`
+    * to the snapshot (~10 bits/key for ~1% fp at kHashes=4..7).
+    * @return (sha, keep_id, batch_copies, bloom_maybe) */
+  def exactIncrementalBloom(newDocs: DataFrame, knownShas: DataFrame,
+                            idCol: String = "id", contentCol: String = "content",
+                            mBits: Int = 1 << 22, kHashes: Int = 4,
+                            seed: Long = 42L): DataFrame = {
+    val hashed = newDocs.select(col(idCol).as("id"),
+      sha2(col(contentCol), 256).as("sha"))
+    val known = knownShas.select(col("sha")).distinct()
+    val probed = bloomProbe(hashed, bloomBitmap(known, mBits, kHashes, seed),
+      mBits, kHashes, seed)
+    val kept = probed.where(!col("bloom_maybe"))
+      .unionByName(probed.where(col("bloom_maybe"))
+        .join(known, Seq("sha"), "left_anti"))
+    kept.groupBy("sha")
+      .agg(min("id").as("keep_id"), count(lit(1)).as("batch_copies"),
+        max("bloom_maybe").as("bloom_maybe"))
+  }
+
   /** MinHash-LSH near-dup candidate pairs with signature-estimated Jaccard
     * (the standard MMDS ch.3 pipeline). Scale shape (round-1 verdict):
     * skinny (band, bhash, id) rows ride the candidate join — signatures

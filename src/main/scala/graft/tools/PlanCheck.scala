@@ -23,7 +23,8 @@ object PlanCheck {
       "dd08_para_spans", "dd09_para_strip", "txt07_vocab_tokens",
       "pack02_vocab_shuffled", "shuf01_global_shuffle", "mm02_quarantine",
       "txt08_top_ngrams", "srch01_bm25", "dd10_decontaminated",
-      "txt09_domain_stats", "samp03_token_budget", "dd12_semantic_dedup")) {
+      "txt09_domain_stats", "samp03_token_budget", "dd12_semantic_dedup",
+      "dd13_incremental_bloom")) {
       println(s"===== $q")
       val df = graft.SparkEntry.queries(q)(spark, dir)
       df.collect()

@@ -626,6 +626,45 @@ class OpsSpec extends AnyFunSuite with SparkTestBase {
     assert(got == Map(11L -> 1L, 12L -> 2L))
   }
 
+  test("exactIncrementalBloom == exactIncremental, with a truthful audit bit") {
+    import graft.core.Hashing
+    // 120 rows over 40 distinct contents (in-batch dup groups of 3);
+    // snapshot knows the first 20 contents
+    val batch = (0L until 120L).map(i => (i, s"doc content number ${i % 40}"))
+      .toDF("id", "content")
+    val known = (0 until 20).map(i => s"doc content number $i").toDF("content")
+      .select(sha2(col("content"), 256).as("sha"))
+    val base = Dedup.exactIncremental(batch, known).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    // mBits=64 is deliberately tiny: 20 keys x 3 hashes nearly saturate one
+    // word, so false positives MUST occur and the audit bit is non-trivial
+    val rows = Dedup.exactIncrementalBloom(batch, known, mBits = 64, kHashes = 3)
+      .collect()
+    assert(rows.map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+      == base, "bloom gating must not change the survivor set")
+    // rebuild the bitmap driver-side and check every audit bit exactly
+    var bits = 0L
+    known.as[String].collect().foreach { sha =>
+      Hashing.bloomPositions(sha, 64, 3, 42L).foreach(p => bits |= 1L << p)
+    }
+    rows.foreach { r =>
+      val expect = Hashing.bloomPositions(r.getString(0), 64, 3, 42L)
+        .forall(p => (bits & (1L << p)) != 0L)
+      assert(r.getBoolean(3) == expect, s"audit bit for ${r.getString(0)}")
+    }
+    // survivors are by construction NOT in the snapshot, so a true audit
+    // bit is a measured false positive — the snug filter must show some
+    assert(rows.exists(_.getBoolean(3)), "expected measurable false positives")
+    assert(rows.exists(!_.getBoolean(3)), "expected some definite-new docs")
+  }
+
+  test("bloom parameter guards fail fast") {
+    val shas = Seq("a").toDF("content").select(sha2(col("content"), 256).as("sha"))
+    intercept[IllegalArgumentException](Dedup.bloomBitmap(shas, mBits = 100))
+    intercept[IllegalArgumentException](Dedup.bloomBitmap(shas, mBits = 32))
+    intercept[IllegalArgumentException](Dedup.bloomBitmap(shas, kHashes = 0))
+  }
+
   test("decontaminate removes exactly the flagged training docs") {
     val train = Seq(
       (0L, "alpha beta gamma delta epsilon zeta"),  // = bench doc 100 -> flagged
