@@ -2,7 +2,7 @@ package graft
 
 import graft.core.{Wfa, WfaWorkspace}
 import graft.oracle.DuckHash
-import graft.ops.{AsOf, Dedup, KMeans, Multimodal, RangeJoin, Sampling, Search, Similarity, TextAnalysis}
+import graft.ops.{AsOf, Cdc, Dedup, KMeans, Multimodal, Pq, RangeJoin, Sampling, Search, Similarity, TextAnalysis}
 import graft.pipeline.{Corpus, Er, ErConfig}
 import org.apache.spark.TaskContext
 import org.apache.spark.sql.{DataFrame, SparkSession}
@@ -120,6 +120,33 @@ object SparkEntry {
       |  SELECT doc_id + 1000000 AS id, lang,
       |         substr(text, 1, greatest(length(text) - 7, 1)) AS content
       |  FROM documents WHERE doc_id % 5 = 0
+      |)""".stripMargin
+
+  /** er10 batch — the new crawl to attach incrementally: near-dup
+    * variants (last 3 chars dropped, distance 3 to the original — must
+    * join its entity) plus novel z-padded docs (distance >> tau to any
+    * real document — must open their own entities). Identical CTE on
+    * the DuckDB side. */
+  private def er10Batch(spark: SparkSession, dir: String): DataFrame = {
+    val docs = table(spark, dir, "documents")
+    val near = docs.where(col("doc_id") % 7 === 0).select(
+      (col("doc_id") + 2000000L).as("id"), col("lang"),
+      col("text").substr(lit(1), greatest(length(col("text")) - 3, lit(1))).as("content"))
+    val novel = docs.where(col("doc_id") % 11 === 0).select(
+      (col("doc_id") + 3000000L).as("id"), col("lang"),
+      concat(expr("repeat('z', 200)"), col("doc_id").cast("string")).as("content"))
+    near.unionAll(novel)
+  }
+
+  private val Er10BatchCte =
+    """batch AS (
+      |  SELECT doc_id + 2000000 AS id, lang,
+      |         substr(text, 1, greatest(length(text) - 3, 1)) AS content
+      |  FROM documents WHERE doc_id % 7 = 0
+      |  UNION ALL
+      |  SELECT doc_id + 3000000 AS id, lang,
+      |         repeat('z', 200) || CAST(doc_id AS VARCHAR) AS content
+      |  FROM documents WHERE doc_id % 11 = 0
       |)""".stripMargin
 
   /** SimHash dedup input: documents plus EXACT copies of every 5th doc
@@ -614,6 +641,23 @@ object SparkEntry {
     }),
     "er09_cigar_edit_ops" -> ((s, dir) =>
       erEdgeCigarStats(s, dir).orderBy("id_a", "id_b")),
+    "er10_incremental" -> ((s, dir) => {
+      // incremental ER: attach a new crawl batch to the er06 entity
+      // table — candidates/scoring touch only batch x blocked-snapshot
+      // (never snapshot x snapshot), the per-crawl cost a 10^12-file
+      // corpus requires. Near-dup batch docs must land in the original's
+      // entity; novel docs open their own. Band exceeds every possible
+      // distance (snapshot max len + 1, and > the 207-char z-docs), so
+      // WFA == unbanded levenshtein and the oracle is exact.
+      val corpus = erInput(s, dir)
+      val comps = Er.connectedComponents(
+        erScores(s, dir).where(col("distance") <= 63).select("id_a", "id_b"))
+      val snap = corpus.select("id", "lang", "content")
+        .join(Er.entities(corpus, comps), "id")
+      val cfg = ErConfig(band = math.max(erBand(s, dir), 212), tau = 63)
+      Er.assignIncremental(snap, er10Batch(s, dir), cfg, bucketCap = ErBucketCap)
+        .orderBy("id")
+    }),
     // LSH blocking stats — value-level oracle since round 2: DuckHash
     // reproduces the MinHash signatures + band folds in DuckDB SQL
     "er08_lsh_block_stats" -> ((s, dir) => {
@@ -727,6 +771,20 @@ object SparkEntry {
       Similarity.ivfTopK(emb.where(col("vec_id") < 10), emb, k = 5,
           nCells = 8, nProbe = 2, centroids = Some(cents))
         .select(col("query_id"), col("item_id"), col("rank").cast("long").as("rank"))
+        .orderBy("query_id", "rank")
+    }),
+
+    "ann06_pq" -> ((s, dir) => {
+      // product quantization + ADC (Jégou et al., TPAMI'11): 4 subspaces
+      // x 16 dims, 8 codes each, trained with the same exact-integer
+      // Lloyd as ann04 — so codebooks, codes, AND the ADC distance sums
+      // are all value-level oracle-checkable. The corpus is served from
+      // 4 code bytes per vector; queries stay unencoded (asymmetric).
+      val raw = table(s, dir, "embeddings").select("vec_id", "embedding")
+      Pq.adcTopK(raw.where(col("vec_id") < 10), raw,
+          nSub = 4, subDim = 16, kCodes = 8, iters = 2, topK = 5)
+        .select(col("query_id"), col("item_id"), col("adc_d2"),
+          col("rank").cast("long").as("rank"))
         .orderBy("query_id", "rank")
     }),
 
@@ -943,6 +1001,51 @@ object SparkEntry {
         .select(col("doc_id"), TextAnalysis.fingerprint(col("text")).as("fp"))
         .orderBy("doc_id")
     }),
+    "cdc01_merge" -> ((s, dir) => {
+      // MERGE INTO / SCD-1 latest-wins: a synthetic versioned change log
+      // over the documents snapshot exercises every branch — update
+      // chains (ver 2 then ver 3: the ver-3 payload must win), an update
+      // superseded by a delete (the key must disappear), inserts of new
+      // keys, and untouched keys passing through. The oracle is the
+      // independent closed-form outcome, not a mirror of the argmax.
+      val d = table(s, dir, "documents")
+      val h = graft.expr.functions.splitmix64(
+        col("doc_id").bitwiseXOR(lit(7L))).bitwiseAND(lit(3L))
+      val snap = d.select(col("doc_id"), lit(1L).as("ver"),
+        length(col("text")).cast("long").as("content_len"))
+      val len = length(col("text")).cast("long")
+      val upd2 = d.where(h.isin(0L, 1L)).select(col("doc_id"), lit(2L).as("ver"),
+        (len + 1).as("content_len"), lit("U").as("op"))
+      val upd3 = d.where(h === 0L).select(col("doc_id"), lit(3L).as("ver"),
+        (len + 2).as("content_len"), lit("U").as("op"))
+      val del3 = d.where(h === 1L).select(col("doc_id"), lit(3L).as("ver"),
+        lit(0L).as("content_len"), lit("D").as("op"))
+      val ins = d.where(h === 2L).select((col("doc_id") + 10000000L).as("doc_id"),
+        lit(2L).as("ver"), lit(77L).as("content_len"), lit("U").as("op"))
+      Cdc.mergeLatest(snap, upd2.unionByName(upd3).unionByName(del3).unionByName(ins),
+          "doc_id", "ver")
+        .orderBy("doc_id")
+    }),
+    "dd14_url_dedup" -> ((s, dir) => {
+      // URL-level dedup through canonicalization (the CCNet/C4 crawl
+      // convention): planted variants — tracking params, fragments,
+      // uppercase hosts — must collapse onto the same canonical URL,
+      // while a REAL query param (?id=k) must keep its group distinct;
+      // the oracle states the expected canonical outcome directly
+      val d = table(s, dir, "documents")
+      val h = graft.expr.functions.splitmix64(
+        col("doc_id").bitwiseXOR(lit(13L))).bitwiseAND(lit(3L))
+      val base = concat(lit("https://Site"), (col("doc_id") % 7).cast("string"),
+        lit(".Example.COM/page/"), (col("doc_id") % 50).cast("string"))
+      val url = when(h === 0L, concat(base, lit("?utm_source=feed&utm_campaign=c1")))
+        .when(h === 1L, concat(base, lit("#section-2")))
+        .when(h === 2L, concat(base, lit("?id="), (col("doc_id") % 5).cast("string")))
+        .otherwise(base)
+      d.select(col("doc_id"), TextAnalysis.canonicalUrl(url).as("canon_url"))
+        .groupBy("canon_url")
+        .agg(min("doc_id").as("keep_id"), count(lit(1)).as("copies"))
+        .orderBy("canon_url")
+    }),
 
     // --- multimodal plumbing ---
     "mm01_media_meta" -> ((s, dir) => {
@@ -1062,6 +1165,49 @@ object SparkEntry {
        |  FROM $prev c LEFT JOIN
        |    (SELECT cell, list(m ORDER BY i) AS cv FROM km_s$idx GROUP BY 1) u
        |    USING (cell))""".stripMargin
+
+  /** [[kmeansIterCtes]] generalized to a SUBSPACE of km_q: the same Lloyd
+    * iteration (argmin ties to lowest cell, floor-division integer mean,
+    * empty cells keep their previous centroid) over qv[off+1 .. off+dim],
+    * with every CTE name prefixed `pfx` so several subspaces unroll side
+    * by side — the ann06 PQ oracle trains 4 codebooks this way. */
+  private def pqIterCtes(pfx: String, prev: String, idx: Int, off: Int, dim: Int): String =
+    s"""${pfx}_a$idx AS (
+       |  SELECT vec_id, cell FROM (
+       |    SELECT vec_id, cell,
+       |      row_number() OVER (PARTITION BY vec_id ORDER BY dist2, cell) AS rk
+       |    FROM (SELECT q.vec_id, c.cell,
+       |            list_sum(list_transform(range(1, ${dim + 1}),
+       |              i -> (q.qv[$off + i] - c.cv[i]) * (q.qv[$off + i] - c.cv[i]))) AS dist2
+       |          FROM km_q q, $prev c)) WHERE rk = 1),
+       |${pfx}_s$idx AS (
+       |  SELECT a.cell, i, CAST(sum(q.qv[$off + i]) // count(*) AS BIGINT) AS m
+       |  FROM ${pfx}_a$idx a JOIN km_q q USING (vec_id), unnest(range(1, ${dim + 1})) t(i)
+       |  GROUP BY 1, 2),
+       |${pfx}_c$idx AS (
+       |  SELECT c.cell, CASE WHEN u.cv IS NULL THEN c.cv ELSE u.cv END AS cv
+       |  FROM $prev c LEFT JOIN
+       |    (SELECT cell, list(m ORDER BY i) AS cv FROM ${pfx}_s$idx GROUP BY 1) u
+       |    USING (cell))""".stripMargin
+
+  /** Deterministic codebook init for subspace `pfx`: the k lowest-vec_id
+    * sliced vectors, cells 0..k-1 — [[graft.ops.KMeans.train]]'s init on
+    * the slice. */
+  private def pqInitCte(pfx: String, off: Int, dim: Int, k: Int): String =
+    s"""${pfx}_c0 AS (
+       |  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS cell,
+       |         list_slice(qv, ${off + 1}, ${off + dim}) AS cv
+       |  FROM (SELECT vec_id, qv FROM km_q ORDER BY vec_id LIMIT $k))""".stripMargin
+
+  /** All four ann06 subspace codebooks (init + 2 Lloyd iterations each),
+    * ready to splice after km_q. */
+  private def pqBookCtes: String =
+    (0 until 4).map { m =>
+      val pfx = s"p$m"
+      Seq(pqInitCte(pfx, m * 16, 16, 8),
+        pqIterCtes(pfx, s"${pfx}_c0", 1, m * 16, 16),
+        pqIterCtes(pfx, s"${pfx}_c1", 2, m * 16, 16)).mkString(",\n")
+    }.mkString(",\n")
 
   def oracleSql: Map[String, String] = Map(
     "q11_asof_join" ->
@@ -1300,6 +1446,46 @@ object SparkEntry {
          |          FROM km_q q, km_c2 c)) WHERE rk = 1)
          |SELECT vec_id, cell, CAST(dist2 AS BIGINT) AS dist2 FROM km_final
          |ORDER BY vec_id""".stripMargin,
+    "ann06_pq" ->
+      // the PQ twin: per-subspace unrolled Lloyd (pqBookCtes), encode =
+      // per-(vec, subspace) argmin with ties to the lowest code, ADC =
+      // BIGINT sum of 4 table lookups (order-independent, so exact);
+      // sum() is HUGEINT in DuckDB -> CAST (CLAUDE.md trap list)
+      s"""WITH km_q AS (
+         |  SELECT vec_id,
+         |    list_transform(CAST(embedding AS DOUBLE[]),
+         |      x -> CAST(floor(x * 1000) AS BIGINT) + 2000) AS qv
+         |  FROM embeddings),
+         |$pqBookCtes,
+         |books AS (
+         |  SELECT 0 AS m, cell AS code, cv FROM p0_c2 UNION ALL
+         |  SELECT 1, cell, cv FROM p1_c2 UNION ALL
+         |  SELECT 2, cell, cv FROM p2_c2 UNION ALL
+         |  SELECT 3, cell, cv FROM p3_c2),
+         |enc AS (
+         |  SELECT vec_id, m, code FROM (
+         |    SELECT q.vec_id, b.m, b.code,
+         |      row_number() OVER (PARTITION BY q.vec_id, b.m ORDER BY
+         |        list_sum(list_transform(range(1, 17),
+         |          i -> (q.qv[b.m*16 + i] - b.cv[i]) * (q.qv[b.m*16 + i] - b.cv[i]))),
+         |        b.code) AS rk
+         |    FROM km_q q, books b) WHERE rk = 1),
+         |tabs AS (
+         |  SELECT q.vec_id AS query_id, b.m, b.code,
+         |    list_sum(list_transform(range(1, 17),
+         |      i -> (q.qv[b.m*16 + i] - b.cv[i]) * (q.qv[b.m*16 + i] - b.cv[i]))) AS d2q
+         |  FROM km_q q, books b WHERE q.vec_id < 10),
+         |adc AS (
+         |  SELECT t.query_id, c.vec_id AS item_id, CAST(sum(t.d2q) AS BIGINT) AS adc_d2
+         |  FROM enc c JOIN tabs t ON t.m = c.m AND t.code = c.code
+         |  WHERE c.vec_id <> t.query_id
+         |  GROUP BY 1, 2),
+         |ranked AS (
+         |  SELECT query_id, item_id, adc_d2,
+         |    row_number() OVER (PARTITION BY query_id ORDER BY adc_d2, item_id) AS rank
+         |  FROM adc)
+         |SELECT query_id, item_id, adc_d2, CAST(rank AS BIGINT) AS rank
+         |FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
     "q01_pricing_agg" ->
       """SELECT l_returnflag, l_linestatus,
         |  CAST(sum(CAST(floor(l_quantity * 100) AS BIGINT)) AS BIGINT) AS sum_qty_centi,
@@ -1444,6 +1630,47 @@ object SparkEntry {
          |  SELECT b.v, reach.r FROM bidir b JOIN reach ON reach.id = b.u
          |  WHERE reach.r < b.v)
          |SELECT id, min(r) AS entity FROM reach GROUP BY id ORDER BY id""".stripMargin,
+    "er10_incremental" ->
+      // snapshot entities re-derived exactly as er06, then the CROSS
+      // blocking (batch explodes to {b-1,b,b+1}, snapshot stays home,
+      // snapshot-bucket cap mirrored) and unbanded levenshtein scoring;
+      // unmatched batch ids coalesce to themselves
+      s"""${ErPairsCte.replaceFirst("WITH ", "WITH RECURSIVE ")},
+         |edges AS MATERIALIZED (
+         |  SELECT p.id_a AS u, p.id_b AS v FROM pairs p
+         |  JOIN corpus ca ON ca.id = p.id_a
+         |  JOIN corpus cb ON cb.id = p.id_b
+         |  WHERE levenshtein(ca.content, cb.content) <= 63),
+         |bidir AS MATERIALIZED (SELECT u, v FROM edges UNION SELECT v, u FROM edges),
+         |reach(id, r) AS (
+         |  SELECT id, id FROM corpus
+         |  UNION
+         |  SELECT b.v, reach.r FROM bidir b JOIN reach ON reach.id = b.u
+         |  WHERE reach.r < b.v),
+         |ent AS (SELECT id, min(r) AS entity FROM reach GROUP BY id),
+         |$Er10BatchCte,
+         |sbl AS (SELECT id, lang, content, length(content) AS len,
+         |        CAST(floor(length(content) / 64) AS BIGINT) AS bucket FROM corpus),
+         |ssz AS (SELECT lang, bucket, count(*) AS gsz FROM sbl GROUP BY 1, 2),
+         |selig AS (SELECT lang, bucket FROM ssz WHERE gsz <= $ErBucketCap),
+         |bb AS (SELECT id, lang, content, length(content) AS len,
+         |       unnest([CAST(floor(length(content) / 64) AS BIGINT) - 1,
+         |               CAST(floor(length(content) / 64) AS BIGINT),
+         |               CAST(floor(length(content) / 64) AS BIGINT) + 1]) AS bucket
+         |       FROM batch),
+         |cand AS (
+         |  SELECT b.id, s.id AS id_s, b.content AS content_b, s.content AS content_s
+         |  FROM bb b JOIN selig e ON b.lang = e.lang AND b.bucket = e.bucket
+         |            JOIN sbl s ON s.lang = b.lang AND s.bucket = b.bucket
+         |  WHERE abs(b.len - s.len) < 64),
+         |m AS (
+         |  SELECT c.id, ent.entity
+         |  FROM cand c JOIN ent ON ent.id = c.id_s
+         |  WHERE levenshtein(c.content_b, c.content_s) <= 63),
+         |agg AS (SELECT id, min(entity) AS me, count(*) AS nm FROM m GROUP BY 1)
+         |SELECT b.id, coalesce(a.me, b.id) AS entity,
+         |  CAST(coalesce(a.nm, 0) AS BIGINT) AS n_matches
+         |FROM batch b LEFT JOIN agg a USING (id) ORDER BY b.id""".stripMargin,
     "er07_cluster_sizes" ->
       s"""${ErPairsCte.replaceFirst("WITH ", "WITH RECURSIVE ")},
          |edges AS MATERIALIZED (
@@ -1480,6 +1707,45 @@ object SparkEntry {
     "dd01_exact" ->
       """SELECT sha256(text) AS sha, min(doc_id) AS keep_id, count(*) AS copies
         |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
+    "cdc01_merge" ->
+      // the independent closed-form outcome of the planted change log:
+      // h&3==0 -> the ver-3 update wins; ==1 -> deleted; ==2 -> snapshot
+      // row survives AND a new key is inserted; ==3 -> untouched
+      s"""WITH g AS (
+         |  SELECT doc_id, CAST(length(text) AS BIGINT) AS len,
+         |    ${DuckHash.splitmixCols(
+               "xor(CAST(doc_id AS UBIGINT), CAST(7 AS UBIGINT))", "cd")} AS h
+         |  FROM documents),
+         |m AS (SELECT doc_id, CAST(h & 3 AS BIGINT) AS v, len FROM g)
+         |SELECT doc_id, ver, content_len FROM (
+         |  SELECT doc_id,
+         |    CAST(CASE WHEN v = 0 THEN 3 ELSE 1 END AS BIGINT) AS ver,
+         |    CAST(CASE WHEN v = 0 THEN len + 2 ELSE len END AS BIGINT) AS content_len
+         |  FROM m WHERE v <> 1
+         |  UNION ALL
+         |  SELECT doc_id + 10000000, CAST(2 AS BIGINT), CAST(77 AS BIGINT)
+         |  FROM m WHERE v = 2)
+         |ORDER BY doc_id""".stripMargin,
+    "dd14_url_dedup" ->
+      // the expected canonical outcome stated directly: tracking params,
+      // fragments, and host case all collapse onto the lowercase base;
+      // only the real ?id=k param keeps a distinct group — the oracle
+      // never re-runs the regexes, so a canonicalizer bug cannot hide
+      s"""WITH g AS (
+         |  SELECT doc_id,
+         |    'https://site' || CAST(doc_id % 7 AS VARCHAR) ||
+         |      '.example.com/page/' || CAST(doc_id % 50 AS VARCHAR) AS base,
+         |    ${DuckHash.splitmixCols(
+               "xor(CAST(doc_id AS UBIGINT), CAST(13 AS UBIGINT))", "uu")} AS h
+         |  FROM documents),
+         |u AS (
+         |  SELECT doc_id,
+         |    CASE WHEN CAST(h & 3 AS BIGINT) = 2
+         |         THEN base || '?id=' || CAST(doc_id % 5 AS VARCHAR)
+         |         ELSE base END AS canon_url
+         |  FROM g)
+         |SELECT canon_url, min(doc_id) AS keep_id, count(*) AS copies
+         |FROM u GROUP BY 1 ORDER BY 1""".stripMargin,
     "dd03_minhash_pairs" ->
       s"""$ErCorpusCte,
          |$MinhashPairsCtes

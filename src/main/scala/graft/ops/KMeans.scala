@@ -51,7 +51,7 @@ object KMeans {
   /** Session-aware dist2: native codegen when GraftExtensions is on the
     * session, bit-identical HOF otherwise (the [[Similarity.cosineFor]]
     * convention — both functions register together, so one probe serves). */
-  private def dist2For(spark: SparkSession):
+  private[ops] def dist2For(spark: SparkSession):
       (org.apache.spark.sql.Column, org.apache.spark.sql.Column) => org.apache.spark.sql.Column =
     if (Similarity.hasNativeFns(spark)) graft.expr.functions.l2sq_int else dist2Hof
 

@@ -322,6 +322,22 @@ object TextAnalysis {
       .groupBy("domain")
       .agg(count(lit(1)).as("n_urls"), countDistinct(col("id")).as("n_docs"))
 
+  /** Canonical form of a URL for URL-level dedup (the CCNet/C4 crawl
+    * convention): fragment dropped, scheme+host lowercased (path stays
+    * case-sensitive), tracking params (utm_*, fbclid, gclid) stripped,
+    * dangling `?`/`&` separators trimmed. Pure codegen'd regexp/string
+    * built-ins in the Java∩RE2 dialect intersection — in particular NO
+    * replacement backreferences (Java spells them `$1`, RE2 `\1`), which
+    * is why the tracking-param strip consumes the FOLLOWING separator
+    * (`...&?`) instead of rewriting the leading one. */
+  def canonicalUrl(url: Column): Column = {
+    val noFrag = regexp_replace(url, "#.*", "")
+    val host = regexp_extract(noFrag, "(?i)^(https?://[^/?#]*)", 1)
+    val lowered = concat(lower(host), noFrag.substr(length(host) + 1, length(noFrag)))
+    val noTrack = regexp_replace(lowered, "(utm_[a-z]+|fbclid|gclid)=[^&#]*&?", "")
+    regexp_replace(noTrack, "[?&]+$", "")
+  }
+
   /** Content fingerprint: md5 of whitespace-normalized lowercase text
     * (near-dup-stable normalization + hash; SQL-mirrorable). */
   def fingerprint(text: Column): Column =

@@ -334,6 +334,68 @@ object Er {
       .join(components, Seq("id"), "left_outer")
       .select(col("id"), coalesce(col("entity"), col("id")).as("entity"))
 
+  /** Incremental entity assignment — attach a NEW batch of documents to
+    * an existing entity table without re-clustering the snapshot: the
+    * way a 10^12-file corpus actually absorbs a crawl. Candidate
+    * generation and scoring touch only batch x blocked-snapshot rows —
+    * never snapshot x snapshot — so per-crawl work is proportional to
+    * the batch, not the corpus.
+    *
+    * Blocking is the er03 contract family's (lang, 64-wide length
+    * bucket) scheme adapted to the CROSS shape: the SMALL batch side
+    * explodes into buckets {b-1, b, b+1} while every snapshot doc stays
+    * in its single home bucket, so any pair with |lenA - lenB| < 64
+    * meets in exactly ONE bucket (no pair dedup needed, unlike the
+    * self-join) and the big side is never replicated. Snapshot buckets
+    * with more than `bucketCap` docs are dropped — the [[graft.ops.Buckets]]
+    * policy: one hot boilerplate block must not turn the ingest
+    * quadratic. The |len diff| < 64 filter is sound, not just a
+    * heuristic: WFA distance >= |len diff| and tau < 64.
+    *
+    * @param snapshot (id, lang, content, entity) — the clustered corpus
+    * @param batch    (id, lang, content) — new docs, ids disjoint
+    * @param cfg      band/tau as in [[score]]
+    * @return (id, entity, n_matches) per batch doc: entity = the
+    *   smallest matched snapshot entity, or the batch id itself when
+    *   nothing matches (a brand-new entity); n_matches = matched
+    *   snapshot docs (0 for new entities). Batch-internal duplicates
+    *   are deliberately NOT linked here — two new copies of the same
+    *   new document each open their own entity until the next full
+    *   clustering run (the attach-or-queue convention; linking them
+    *   would re-introduce the batch self-join this operator exists to
+    *   avoid). */
+  def assignIncremental(snapshot: DataFrame, batch: DataFrame,
+                        cfg: ErConfig, bucketCap: Int = 256): DataFrame = {
+    val sn = snapshot.select(col("id").as("id_s"), col("lang"),
+      col("content").as("content_s"), col("entity"),
+      floor(length(col("content")) / 64).as("bucket"),
+      length(col("content")).as("len_s"))
+    // eligible snapshot buckets: tiny (lang, bucket) list, AQE-broadcast
+    val elig = sn.groupBy("lang", "bucket").agg(count(lit(1)).as("gsz"))
+      .where(col("gsz") <= bucketCap).select("lang", "bucket")
+    val bt = batch.select(col("id"), col("lang"), col("content"),
+      length(col("content")).as("len"),
+      explode(array(floor(length(col("content")) / 64) - 1,
+        floor(length(col("content")) / 64),
+        floor(length(col("content")) / 64) + 1)).as("bucket"))
+    val cand = bt.join(elig, Seq("lang", "bucket"))
+      .join(sn, Seq("lang", "bucket"))
+      .where(abs(col("len") - col("len_s")) < 64)
+    val scored = score(cand.select(col("id").as("id_a"), col("id_s").as("id_b"),
+      col("content").cast("binary").as("bytes_a"),
+      col("content_s").cast("binary").as("bytes_b")), cfg)
+    val matches = scored
+      .where(!col("saturated") && col("distance") <= cfg.tau)
+      // sn has exactly one row per snapshot doc (single home bucket)
+      .join(sn.select(col("id_s").as("id_b"), col("entity")), "id_b")
+      .groupBy(col("id_a").as("id"))
+      .agg(min("entity").as("matched_entity"), count(lit(1)).as("n_matches"))
+    batch.select("id").join(matches, Seq("id"), "left_outer")
+      .select(col("id"),
+        coalesce(col("matched_entity"), col("id")).as("entity"),
+        coalesce(col("n_matches"), lit(0L)).as("n_matches"))
+  }
+
   // ------------------------------------------------------------ full pipeline
 
   /** End-to-end, unchckpointed (testing / small inputs). Returns

@@ -338,6 +338,33 @@ class OpsSpec extends AnyFunSuite with SparkTestBase {
     assert(out(6L) == (((0L, 1L, 1L, 1L), "see <URL> for <PHONE>")))
   }
 
+  test("canonicalUrl: fragments, tracking params, host case; path case and real params survive") {
+    val cases = Seq(
+      // tracking param alone, at start, middle, end of the query
+      ("https://ex.org/p?utm_source=f", "https://ex.org/p"),
+      ("https://ex.org/p?utm_source=f&id=3", "https://ex.org/p?id=3"),
+      ("https://ex.org/p?id=3&utm_medium=m&k=4", "https://ex.org/p?id=3&k=4"),
+      ("https://ex.org/p?id=3&fbclid=XyZ123", "https://ex.org/p?id=3"),
+      ("https://ex.org/p?gclid=9&utm_campaign=c&utm_term=t", "https://ex.org/p"),
+      // fragment dropped, also when combined with tracking params
+      ("https://ex.org/p#sec-2", "https://ex.org/p"),
+      ("https://ex.org/p?utm_source=f#frag", "https://ex.org/p"),
+      ("https://ex.org/p?id=1#frag", "https://ex.org/p?id=1"),
+      // scheme+host lowercased; PATH case preserved
+      ("HTTPS://WWW.Ex.ORG/CaseSensitive/Path", "https://www.ex.org/CaseSensitive/Path"),
+      ("http://CDN3.Example.NET/x?Q=Up", "http://cdn3.example.net/x?Q=Up"),
+      // already-canonical urls pass through untouched
+      ("https://ex.org/a/b?x=1&y=2", "https://ex.org/a/b?x=1&y=2"),
+      ("https://ex.org", "https://ex.org"))
+    val got = cases.map(_._1).zipWithIndex.map { case (u, i) => (i.toLong, u) }
+      .toDF("id", "url")
+      .select(col("id"), TextAnalysis.canonicalUrl(col("url")).as("c"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    cases.zipWithIndex.foreach { case ((in, exp), i) =>
+      assert(got(i.toLong) == exp, s"canonicalUrl($in)")
+    }
+  }
+
   test("paragraph spans: cross-doc 8-word windows flagged; remainders and sub-window docs produce none") {
     val w8 = "w0 w1 w2 w3 w4 w5 w6 w7"
     val d = Seq(
