@@ -967,6 +967,16 @@ object SparkEntry {
         vocab = Some(TextAnalysis.VocabV1), orderSeed = Some(7L))
         .orderBy("id")
     }),
+    "samp04_split" -> ((s, dir) => {
+      // deterministic 80/10/10 train/val/test assignment: disjoint and
+      // exhaustive by construction (contiguous splitmix bucket ranges);
+      // the same id splits identically in every table, preventing
+      // cross-table leakage — the single most-run sampling op in any
+      // training pipeline
+      Sampling.splitAssign(table(s, dir, "documents").select("doc_id", "lang"),
+          "doc_id", Seq("train" -> 820, "val" -> 102, "test" -> 102), seed = 42L)
+        .orderBy("doc_id")
+    }),
     "shuf01_global_shuffle" -> ((s, dir) => {
       // deterministic global corpus shuffle: exact 0-based position in
       // the splitmix64(id XOR 7) order via the two-phase bucket-stitched
@@ -1325,6 +1335,17 @@ object SparkEntry {
          |WHERE (h & 1023) <
          |  CASE lang WHEN 'en' THEN 256 WHEN 'zh' THEN 768 ELSE 512 END
          |ORDER BY doc_id""".stripMargin,
+    "samp04_split" ->
+      s"""WITH g AS (
+         |  SELECT doc_id, lang,
+         |    ${DuckHash.splitmixCols(
+               "xor(CAST(doc_id AS UBIGINT), CAST(42 AS UBIGINT))", "sp")} AS h
+         |  FROM documents)
+         |SELECT doc_id, lang,
+         |  CASE WHEN (h & 1023) < 820 THEN 'train'
+         |       WHEN (h & 1023) < 922 THEN 'val'
+         |       ELSE 'test' END AS split
+         |FROM g ORDER BY doc_id""".stripMargin,
     "samp03_token_budget" ->
       // greedy budget walk: ORDER BY h compares UBIGINT (samp02's
       // convention); the windowed sum is HUGEINT in DuckDB -> CAST

@@ -100,6 +100,13 @@ object Pq {
               nSub: Int, subDim: Int, kCodes: Int, iters: Int, topK: Int,
               train: Option[DataFrame] = None): DataFrame = {
     val spark = corpus.sparkSession
+    require(nSub > 0 && subDim > 0 && kCodes > 0 && topK > 0,
+      s"nSub/subDim/kCodes/topK must be positive, got $nSub/$subDim/$kCodes/$topK")
+    // fail loud, not silently-ignore-tail-dims: the subspaces must tile
+    // the embedding exactly (one tiny probe job, the KMeans.train pattern)
+    val dim = corpus.select(size(col("embedding"))).head().getInt(0)
+    require(dim == nSub * subDim,
+      s"nSub * subDim = ${nSub * subDim} must equal embedding dim $dim")
     val qc = KMeans.quantize(corpus)
     val books = trainCodebooks(train.map(KMeans.quantize(_)).getOrElse(qc),
       nSub, subDim, kCodes, iters)

@@ -49,6 +49,39 @@ object Sampling {
     df.where(bucket < rate)
   }
 
+  /** Deterministic train/val/test split: every row gets a stable split
+    * label derived from its OWN id — disjoint and exhaustive by
+    * construction (one hash bucket, contiguous threshold ranges),
+    * stable under repartitioning, and joinable across tables: the same
+    * id lands in the same split everywhere, which is how cross-table
+    * leakage between splits is prevented at corpus scale (a document
+    * and its embedding row split identically). Same scale shape as
+    * [[stratified]]: one codegen'd map-side expression, zero shuffle.
+    *
+    * @param splits ordered (name, weight) with weights summing to 1024:
+    *   `Seq("train" -> 820, "val" -> 102, "test" -> 102)` assigns
+    *   bucket < 820 to train, < 922 to val, the rest to test. */
+  def splitAssign(df: DataFrame, idCol: String,
+                  splits: Seq[(String, Int)], seed: Long = 42L): DataFrame = {
+    require(splits.nonEmpty && splits.forall(_._2 > 0), "split weights must be positive")
+    require(splits.map(_._2).sum == 1024,
+      s"split weights must sum to 1024, got ${splits.map(_._2).sum}")
+    require(!df.columns.contains("split"),
+      "input already has a 'split' column; rename it first")
+    requireHashableId(df, idCol)
+    val bucket = graft.expr.functions
+      .splitmix64(hashableId(df, idCol).bitwiseXOR(lit(seed)))
+      .bitwiseAND(lit(1023L))
+    val cum = splits.scanLeft(0)(_ + _._2).tail
+    val assigned = splits.zip(cum).dropRight(1)
+      .foldLeft(Option.empty[org.apache.spark.sql.Column]) {
+        case (acc, ((name, _), hi)) =>
+          Some(acc.map(_.when(bucket < hi, name)).getOrElse(when(bucket < hi, name)))
+      }
+      .map(_.otherwise(splits.last._1)).getOrElse(lit(splits.last._1))
+    df.withColumn("split", assigned)
+  }
+
   /** Fail FAST on id columns whose cast to long is not exact and total:
     * under ANSI (Spark 4 default) a non-numeric string or out-of-range
     * decimal THROWS mid-job per offending row, and with ANSI off it

@@ -25,7 +25,8 @@ object PlanCheck {
       "txt08_top_ngrams", "srch01_bm25", "dd10_decontaminated",
       "txt09_domain_stats", "samp03_token_budget", "dd12_semantic_dedup",
       "dd13_incremental_bloom",
-      "ann06_pq", "cdc01_merge", "dd14_url_dedup", "er10_incremental")) {
+      "ann06_pq", "cdc01_merge", "dd14_url_dedup", "er10_incremental",
+      "samp04_split")) {
       println(s"===== $q")
       val df = graft.SparkEntry.queries(q)(spark, dir)
       df.collect()

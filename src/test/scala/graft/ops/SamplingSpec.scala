@@ -76,6 +76,40 @@ class SamplingSpec extends AnyFunSuite with SparkTestBase {
     assert(again == got.map(_._1).toSet)
   }
 
+  test("splitAssign: disjoint+exhaustive, repartition-stable, cross-table consistent") {
+    import spark.implicits._
+    val splits = Seq("train" -> 820, "val" -> 102, "test" -> 102)
+    val rows = (0L until 3000L).map(i => (i, s"d$i"))
+    def assign(parts: Int) =
+      Sampling.splitAssign(rows.toDF("id", "v").repartition(parts), "id", splits)
+        .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    val a = assign(2)
+    assert(a.keySet.size == 3000, "exhaustive: every row labeled exactly once")
+    assert(a == assign(11), "repartition-stable")
+    // same ids in a DIFFERENT table split identically (no cross-table leakage)
+    val other = Sampling.splitAssign(
+        rows.map { case (i, _) => (i, i * 2) }.toDF("id", "w"), "id", splits)
+      .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(a == other)
+    // observed proportions track the 820/102/102 weights
+    val n = a.values.groupBy(identity).view.mapValues(_.size).toMap
+    assert(math.abs(n("train") - 3000.0 * 820 / 1024) < 120)
+    assert(math.abs(n("val") - 3000.0 * 102 / 1024) < 60)
+    assert(math.abs(n("test") - 3000.0 * 102 / 1024) < 60)
+  }
+
+  test("splitAssign rejects bad inputs loudly") {
+    import spark.implicits._
+    val df = Seq((1L, "x")).toDF("id", "v")
+    intercept[IllegalArgumentException](
+      Sampling.splitAssign(df, "id", Seq("a" -> 512, "b" -> 500)))
+    intercept[IllegalArgumentException](
+      Sampling.splitAssign(df, "id", Seq.empty))
+    intercept[IllegalArgumentException](
+      Sampling.splitAssign(Seq((1L, "x")).toDF("id", "split"), "id",
+        Seq("a" -> 1024)))
+  }
+
   test("non-integral id columns are rejected; null ids raise, never hash to null") {
     val strDf = Seq(("a", "en")).toDF("doc_id", "lang")
     val e = intercept[IllegalArgumentException] {
