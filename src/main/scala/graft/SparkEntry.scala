@@ -641,6 +641,13 @@ object SparkEntry {
     }),
     "er09_cigar_edit_ops" -> ((s, dir) =>
       erEdgeCigarStats(s, dir).orderBy("id_a", "id_b")),
+    "er11_incremental_dropped" -> ((s, dir) => {
+      // the q18 pattern for er10's snapshot-bucket cap: a BINDING cap of
+      // 2 makes the dropped-mass lineage non-trivial and oracle-checks
+      // the policy itself (count of dropped (lang, bucket) groups and
+      // the snapshot rows they carried)
+      Er.incrementalDroppedStats(erInput(s, dir), bucketCap = 2)
+    }),
     "er10_incremental" -> ((s, dir) => {
       // incremental ER: attach a new crawl batch to the er06 entity
       // table — candidates/scoring touch only batch x blocked-snapshot
@@ -1651,6 +1658,14 @@ object SparkEntry {
          |  SELECT b.v, reach.r FROM bidir b JOIN reach ON reach.id = b.u
          |  WHERE reach.r < b.v)
          |SELECT id, min(r) AS entity FROM reach GROUP BY id ORDER BY id""".stripMargin,
+    "er11_incremental_dropped" ->
+      s"""$ErCorpusCte
+         |SELECT CAST(count(*) AS BIGINT) AS n_buckets_dropped,
+         |  CAST(coalesce(sum(gsz), 0) AS BIGINT) AS n_rows_dropped
+         |FROM (SELECT lang, CAST(floor(length(content) / 64) AS BIGINT) AS bucket,
+         |             count(*) AS gsz
+         |      FROM corpus GROUP BY 1, 2)
+         |WHERE gsz > 2""".stripMargin,
     "er10_incremental" ->
       // snapshot entities re-derived exactly as er06, then the CROSS
       // blocking (batch explodes to {b-1,b,b+1}, snapshot stays home,

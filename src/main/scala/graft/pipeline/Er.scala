@@ -396,6 +396,20 @@ object Er {
         coalesce(col("n_matches"), lit(0L)).as("n_matches"))
   }
 
+  /** Lineage for [[assignIncremental]]'s snapshot-bucket cap (the
+    * [[graft.ops.RangeJoin.droppedStats]] shape): how many (lang,
+    * length-bucket) groups the cap removed and how many snapshot rows
+    * they carried — the observable recall cost of the hot-block policy,
+    * written by ingest runners next to the assignment output. Two
+    * map-side-combinable aggregations of skinny keys; never touches
+    * content bytes. */
+  def incrementalDroppedStats(snapshot: DataFrame, bucketCap: Int): DataFrame =
+    snapshot.select(col("lang"), floor(length(col("content")) / 64).as("bucket"))
+      .groupBy("lang", "bucket").agg(count(lit(1)).as("gsz"))
+      .where(col("gsz") > bucketCap)
+      .agg(count(lit(1)).as("n_buckets_dropped"),
+        coalesce(sum("gsz"), lit(0L)).as("n_rows_dropped"))
+
   // ------------------------------------------------------------ full pipeline
 
   /** End-to-end, unchckpointed (testing / small inputs). Returns

@@ -132,6 +132,19 @@ class ErPipelineSpec extends AnyFunSuite with SparkTestBase {
     novelLocal.foreach { case (bid, _, _) => assert(got(bid) == (bid, 0L)) }
   }
 
+  test("incrementalDroppedStats counts exactly the over-cap (lang, bucket) groups") {
+    val snapLocal = corpus.select("id", "lang", "content").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    val sizes = snapLocal.groupBy(s => (s._2, s._3.length / 64)).view.mapValues(_.length)
+    for (cap <- Seq(0, 2, 1000000)) {
+      val over = sizes.filter(_._2 > cap)
+      val row = Er.incrementalDroppedStats(
+        corpus.select("id", "lang", "content"), cap).head()
+      assert(row.getLong(0) == over.size.toLong, s"cap=$cap groups")
+      assert(row.getLong(1) == over.values.sum.toLong, s"cap=$cap rows")
+    }
+  }
+
   test("connected components: known graph") {
     import spark.implicits._
     // components: {1,2,3,4,5} (path), {10,11} and {20} implicit singleton
