@@ -46,4 +46,41 @@ object ErRunner {
     }
     r
   }
+
+  /** Checkpointed incremental ingest — the per-crawl loop a 10^12-file
+    * corpus actually runs between full clusterings: attach `batchSource`
+    * to a COMPLETED full run's `corpus`/`entities` checkpoints via
+    * [[Er.assignIncremental]], with the same resume semantics as [[run]]
+    * (a killed ingest resumes at the assignment checkpoint instead of
+    * re-scoring the batch). Each crawl gets its own `ingest/<tag>/`
+    * stage directory, so successive crawls never clobber each other and
+    * `entities_merged` of one tag can seed the next. Lineage: the
+    * bucket-cap dropped-mass table ([[Er.incrementalDroppedStats]])
+    * rides next to the assignment, the observable recall cost of the
+    * hot-block policy.
+    *
+    * @return the runner; `entities_merged` is the updated entity table
+    *   (old entities ∪ batch assignments) for downstream readers. */
+  def runIncremental(spark: SparkSession, workDir: String, tag: String,
+                     cfg: ErConfig, bucketCap: Int = 256)
+                    (batchSource: => DataFrame): StageRunner = {
+    def complete(s: String) =
+      java.nio.file.Files.exists(java.nio.file.Paths.get(s"$workDir/$s/_SUCCESS"))
+    require(complete("corpus") && complete("entities"),
+      s"incremental ingest needs a completed full run in $workDir " +
+        "(corpus and entities checkpoints with _SUCCESS markers)")
+    val corpus = spark.read.parquet(s"$workDir/corpus")
+    val entities = spark.read.parquet(s"$workDir/entities")
+    val snapshot = corpus.select("id", "lang", "content").join(entities, "id")
+    val r = new StageRunner(spark, s"$workDir/ingest/$tag")
+    val batch = r.stage("batch", Seq("lang"))(batchSource)
+    val assigned = r.stage("assigned")(
+      Er.assignIncremental(snapshot, batch, cfg, bucketCap))
+    if (r.computed.contains("assigned")) {
+      r.lineage("ingest_dropped", Er.incrementalDroppedStats(snapshot, bucketCap))
+    }
+    r.stage("entities_merged")(
+      entities.unionByName(assigned.select("id", "entity")))
+    r
+  }
 }

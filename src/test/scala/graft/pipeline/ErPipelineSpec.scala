@@ -301,6 +301,42 @@ class ErPipelineSpec extends AnyFunSuite with SparkTestBase {
     assert(policy.getLong(0) >= 0L && policy.getLong(2) >= 1L)
   }
 
+  test("incremental ingest: checkpointed assignment resumes; merged entities cover corpus + batch") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("er-ingest").toString
+    ErRunner.run(spark, dir, cfg)(Corpus.generate(spark, genCfg).toDF())
+    val snapLocal = spark.read.parquet(s"$dir/corpus")
+      .select("id", "lang", "content").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    val batchRows = snapLocal.filter(_._1 % 10 == 0).map { case (id, lang, c) =>
+      (id + 10000000L, lang, c.dropRight(4)) }.toSeq :+
+      ((90000001L, snapLocal.head._2, "z" * 400))
+    val r1 = ErRunner.runIncremental(spark, dir, "crawl1", cfg)(
+      batchRows.toDF("id", "lang", "content"))
+    assert(r1.computed == Seq("batch", "assigned", "entities_merged"))
+    val merged = spark.read.parquet(s"$dir/ingest/crawl1/entities_merged")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(merged.size == snapLocal.length + batchRows.size)
+    // near-dup batch docs attached to their original's entity; the novel
+    // z-doc opened its own
+    val ent = spark.read.parquet(s"$dir/entities").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    batchRows.dropRight(1).foreach { case (bid, _, _) =>
+      assert(merged(bid) == ent(bid - 10000000L), s"batch doc $bid") }
+    assert(merged(90000001L) == 90000001L)
+    // resume: nothing recomputed (the batch thunk would throw)
+    val r2 = ErRunner.runIncremental(spark, dir, "crawl1", cfg)(
+      sys.error("batch must not be recomputed on resume"))
+    assert(r2.computed.isEmpty)
+    // dropped-mass lineage rides next to the assignment
+    val lin = r1.readLineage("ingest_dropped").head()
+    assert(lin.schema.fieldNames.toSeq == Seq("n_buckets_dropped", "n_rows_dropped"))
+    assert(lin.getLong(0) >= 0L)
+    // ingest without a completed full run fails fast
+    intercept[IllegalArgumentException](ErRunner.runIncremental(
+      spark, "/tmp/er-ingest-missing", "t", cfg)(sys.error("unreachable")))
+  }
+
   test("checkpoint tables are partition-pruned: a lang-scoped read touches only its directory") {
     val dir = java.nio.file.Files.createTempDirectory("er-prune").toString
     ErRunner.run(spark, dir, cfg)(Corpus.generate(spark, genCfg).toDF())
