@@ -50,13 +50,23 @@ object Hashing {
       while (j < numHashes) { sig(j) = splitmix64(seed + j); j += 1 }
       return sig
     }
+    // round 6: hoist the per-j xor seeds (one multiply+add each, computed
+    // once instead of once per (position, j)) and inline the splitmix64
+    // rounds — identical arithmetic, bit-identical signatures (the DuckDB
+    // DuckHash oracles pin this value-level)
+    val seeds = new Array[Long](numHashes)
+    var s = 0
+    while (s < numHashes) { seeds(s) = seed + 0x5851F42D4C957F2DL * (s + 1); s += 1 }
     var i = 0
     while (i < positions) {
       val h = hashBytes(bytes, i, math.min(shingleLen, n - i), seed)
       var j = 0
       while (j < numHashes) {
-        val hj = splitmix64(h ^ (seed + 0x5851F42D4C957F2DL * (j + 1)))
-        if (hj < sig(j)) sig(j) = hj
+        var x = (h ^ seeds(j)) + 0x9E3779B97F4A7C15L
+        x = (x ^ (x >>> 30)) * 0xBF58476D1CE4E5B9L
+        x = (x ^ (x >>> 27)) * 0x94D049BB133111EBL
+        x = x ^ (x >>> 31)
+        if (x < sig(j)) sig(j) = x
         j += 1
       }
       i += 1

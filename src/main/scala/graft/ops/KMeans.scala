@@ -56,16 +56,41 @@ object KMeans {
     if (Similarity.hasNativeFns(spark)) graft.expr.functions.l2sq_int else dist2Hof
 
   /** Assign every vector to its nearest centroid.
+    *
+    * Round 6 (guide §2.4 "remove shuffles outright"): the old plan was a
+    * k-way broadcast cross join + a full-corpus `groupBy(vec_id)
+    * min(struct)` — one exchange of every (qv, d2, cell) row per
+    * assignment. But the centroid table is k rows by contract (it is
+    * collected to the driver by [[train]] anyway), so the argmin is now a
+    * single codegen'd projection over literal centroids:
+    * `array_min(array(struct(d2_0, cell_0), ...))` — zero exchanges, zero
+    * row replication, identical values (same l2sq kernel, and array_min
+    * uses the same lexicographic struct ordering as the old min(struct)
+    * aggregate, so the lowest-cell tie-break is preserved bit-for-bit).
+    * One row out per input row; vec_ids are unique by contract (the old
+    * groupBy shape would have silently collapsed duplicate ids instead).
     * @param quantized (vec_id, qv) from [[quantize]]
-    * @param centroids (cell: bigint, cv: array<bigint>)
+    * @param centroids (cell: bigint, cv: array<bigint>) — k rows, tiny
     * @return (vec_id, cell, dist2) */
   def assign(quantized: DataFrame, centroids: DataFrame): DataFrame = {
+    val cents = centroids.select(col("cell").cast("long"), col("cv"))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Long](1).toArray))
+    assignLiteral(quantized, cents)
+  }
+
+  /** The shared literal-centroid argmin projection ([[assign]]'s scaladoc):
+    * best = array_min over k (d2, cell) structs built against literal
+    * centroid vectors. */
+  private def assignLiteral(quantized: DataFrame,
+                            cents: Array[(Long, Array[Long])]): DataFrame = {
+    require(cents.nonEmpty, "no centroids to assign against")
     val dist2 = dist2For(quantized.sparkSession)
-    quantized.crossJoin(broadcast(centroids))
-      .select(col("vec_id"), dist2(col("qv"), col("cv")).as("d2"), col("cell"))
-      .groupBy("vec_id")
-      .agg(min(struct(col("d2"), col("cell"))).as("best"))
-      .select(col("vec_id"), col("best.cell").as("cell"), col("best.d2").as("dist2"))
+    val best = array_min(array(cents.map { case (cell, cv) =>
+      struct(dist2(col("qv"), typedLit(cv.toSeq)).as("d2"), lit(cell).as("cell"))
+    }.toSeq: _*))
+    quantized.select(col("vec_id"), best.getField("cell").as("cell"),
+      best.getField("d2").as("dist2"))
   }
 
   /** Train `k` centroids with `iters` Lloyd iterations. Init = the `k`
@@ -88,19 +113,18 @@ object KMeans {
     val q = if (ownPersist) quantized.persist(StorageLevel.MEMORY_AND_DISK)
             else quantized
     try {
-      val dist2 = dist2For(spark)
       var cents: Array[(Long, Array[Long])] =
         q.orderBy("vec_id").limit(k).select("qv").as[Array[Long]]
           .collect().zipWithIndex.map { case (v, i) => (i.toLong, v) }
       require(cents.length == k, s"corpus has ${cents.length} < k=$k vectors")
       for (_ <- 1 to iters) {
-        val sums = q.crossJoin(broadcast(centroidFrame(spark, cents)))
-          .select(col("vec_id"), col("qv"),
-            dist2(col("qv"), col("cv")).as("d2"), col("cell"))
-          .groupBy("vec_id")
-          .agg(min(struct(col("d2"), col("cell"))).as("best"),
-            first("qv").as("qv"))
-          .select(col("best.cell").as("cell"), posexplode(col("qv")).as(Seq("pos", "v")))
+        // round 6: assignment is the literal-centroid argmin projection
+        // (see [[assign]]) — the old crossJoin + groupBy(vec_id) shape
+        // exchanged the full (qv, d2, cell) corpus once per iteration;
+        // now the only exchange per iteration is the skinny (cell, pos)
+        // partial-sum aggregation (map-side combinable, k x dim rows out)
+        val sums = assignLiteralWithQv(q, cents)
+          .select(col("cell"), posexplode(col("qv")).as(Seq("pos", "v")))
           .groupBy("cell", "pos")
           // floor-division mean: all coords non-negative, so truncation ==
           // floor; `div` is Spark's integral division (no ANSI float detour)
@@ -117,6 +141,19 @@ object KMeans {
       // to release the corpus cache before the caller uses it
       if (ownPersist) { q.unpersist(blocking = false); () }
     }
+  }
+
+  /** [[assignLiteral]] keeping the quantized vector on the row (for the
+    * in-iteration centroid update — replaces the old `first(qv)`
+    * carry-through; vec_ids are unique by contract so the row sets are
+    * identical). */
+  private def assignLiteralWithQv(quantized: DataFrame,
+                                  cents: Array[(Long, Array[Long])]): DataFrame = {
+    val dist2 = dist2For(quantized.sparkSession)
+    val best = array_min(array(cents.map { case (cell, cv) =>
+      struct(dist2(col("qv"), typedLit(cv.toSeq)).as("d2"), lit(cell).as("cell"))
+    }.toSeq: _*))
+    quantized.select(best.getField("cell").as("cell"), col("qv"))
   }
 
   private def centroidFrame(spark: SparkSession,

@@ -62,81 +62,82 @@ object Er {
 
   // ------------------------------------------------------- candidate pairs
 
-  /** Self-join each block on (lang, band, bhash) with id_a < id_b.
-    * Scale levers (BASELINE.json north_star "salted self-joins to break
-    * skew on mega-repos"):
-    *  (1) small blocks (<= maxBlockSize) self-join directly;
-    *  (2) mid-size blocks (<= saltedMaxBlockSize) go through a salted
-    *      TRIANGLE join: each member gets a deterministic salt bucket
-    *      r in [0, k); side A replicates a member to bucket-pairs (r, j>=r),
-    *      side B to (i<=r, r); the equi-join key (lang, band, bhash, i, j)
-    *      splits one quadratic hot block into k(k+1)/2 evenly-sized join
-    *      cells, so no single task owns a whole hot block;
-    *  (3) mega-blocks beyond saltedMaxBlockSize (shared boilerplate — the
-    *      license-header pathology) are dropped outright;
-    *  (4) the length-difference pre-filter (|lenA-lenB| >= band implies
-    *      distance >= band, see Wfa.align) kills pairs before the
-    *      pair-dedup shuffle; AQE skew-join handles residual imbalance.
-    */
+  /** All (id_a < id_b) pairs co-blocked under (lang, band, bhash), for
+    * blocks of 2..saltedMaxBlockSize members; larger blocks (shared
+    * boilerplate — the license-header pathology) are dropped outright,
+    * and the length-difference pre-filter (|lenA-lenB| >= band implies
+    * distance >= band, see Wfa.align) kills pairs before the pair-dedup
+    * shuffle.
+    *
+    * Round 6 restructure (guide §2.4 "remove shuffles outright"): the
+    * round-1..5 plan was a two-path self-join — a direct self-join for
+    * small blocks plus a salted TRIANGLE join for mid-size ones — which
+    * cost ~7 exchanges (sizes, sized-join, two self-join sides, two
+    * exploded triangle sides, dedup) and as many codegen'd stages; the
+    * bench pays that whole chain as a COLD one-shot, so per-stage fixed
+    * costs (Janino compile behind its KeyLock, shuffle-file setup, steal
+    * exposure) dominated the measured time (BenchExtra: the join chain
+    * was ~25 s one-shot vs ~4 s warm at sf0.1/local[32]). Now pair
+    * generation is ONE map-side-combinable sizing aggregation, one
+    * eligibility join (the skinny eligible-key side broadcasts when it
+    * fits), one collect_list groupBy that lands every eligible block in
+    * one task, and a task-local pair loop — 3 exchanges total, none of
+    * them wider than (keys, id, len).
+    *
+    * The salted triangle join existed to split one hot block's quadratic
+    * JOIN cell across tasks; with the cap at saltedMaxBlockSize (64) a
+    * whole block in one task is at most 64 members = 2016 local pair
+    * emissions — three orders of magnitude below a task's work quantum —
+    * so the task-skew argument for salting evaporates once the
+    * eligibility cap runs BEFORE the grouping (collect_list state is
+    * bounded by the cap; mega-blocks never reach it). Output is
+    * value-identical to the old two-path plan (same pair set, same
+    * orientation; pinned by ErPipelineSpec's F1/invariant suite). */
   def candidatePairs(blocks: DataFrame, cfg: ErConfig): DataFrame = {
+    val spark = blocks.sparkSession
+    import spark.implicits._
     val keys = Seq("lang", "band", "bhash")
-    val k = cfg.saltBuckets
+    val band = cfg.band
     // Block sizing via groupBy+join, NOT count().over(Window): the window
     // shipped every row of a hot key to one task with no partial
-    // aggregation — the exact mega-block pathology the salted join breaks
-    // (68% of the round-1 bench). groupBy is map-side combinable, and the
-    // size side carries one skinny row per multi-member block (singleton
-    // blocks — the vast majority — produce no pairs and die at this inner
-    // join). blocks is cached because the plan traverses it twice (sizes +
-    // probe); the cache is session-lifetime (no safe pre-action unpersist
-    // point — LRU-evictable, and repeated callers should pass an already-
-    // persisted/checkpointed frame); at real scale this is a checkpointed
-    // stage table instead (ErRunner).
+    // aggregation (68% of the round-1 bench). The eligibility list is one
+    // skinny row per multi-member block at-or-under the cap (singleton
+    // blocks — the vast majority — produce no pairs and die here; blocks
+    // OVER the cap are dropped before any of their rows can reach the
+    // collect_list, which is what keeps its buffer bounded). blocks is
+    // cached because the plan traverses it twice (sizes + probe); the
+    // cache is session-lifetime (LRU-evictable; repeated callers should
+    // pass an already-persisted/checkpointed frame — ErRunner does).
     val cached = blocks.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val sizes = cached.groupBy(keys.map(col): _*)
+    val elig = cached.groupBy(keys.map(col): _*)
       .agg(count(lit(1)).as("bsz"))
-      .where(col("bsz") >= 2)
-    val sized = cached.join(sizes, keys)
-
-    def pairsOf(df: DataFrame, joinKeys: Seq[String]): DataFrame = {
-      val a = df.select((joinKeys.map(col) :+
-        col("id").as("id_a") :+ col("len").as("len_a")): _*)
-      val b = df.select((joinKeys.map(col) :+
-        col("id").as("id_b") :+ col("len").as("len_b")): _*)
-      a.join(b, joinKeys)
-        .where(col("id_a") < col("id_b") &&
-          abs(col("len_a") - col("len_b")) < lit(cfg.band))
-        .select("id_a", "id_b")
-    }
-
-    val small = pairsOf(
-      sized.filter(col("bsz") <= cfg.maxBlockSize).drop("bsz"), keys)
-
-    val mid = sized.filter(
-      col("bsz") > cfg.maxBlockSize && col("bsz") <= cfg.saltedMaxBlockSize)
-      .drop("bsz")
-      .withColumn("salt", pmod(xxhash64(col("id")), lit(k)).cast("int"))
-    // triangle replication: A covers (r, j >= r), B covers (i <= r, r)
-    val midA = mid
-      .withColumn("j", explode(sequence(col("salt"), lit(k - 1))))
-      .select(col("lang"), col("band"), col("bhash"),
-        col("salt").as("i"), col("j"),
-        col("id").as("id_a"), col("len").as("len_a"))
-    val midB = mid
-      .withColumn("i", explode(sequence(lit(0), col("salt"))))
-      .select(col("lang"), col("band"), col("bhash"),
-        col("i"), col("salt").as("j"),
-        col("id").as("id_b"), col("len").as("len_b"))
-    // a pair meets in exactly one cell, but with sides swapped when
-    // salt(a) > salt(b) — normalize with least/greatest, not a directional
-    // filter (which would silently drop those pairs)
-    val midPairs = midA.join(midB, keys ++ Seq("i", "j"))
-      .where(col("id_a") =!= col("id_b") &&
-        abs(col("len_a") - col("len_b")) < lit(cfg.band))
-      .select(least(col("id_a"), col("id_b")).as("id_a"),
-        greatest(col("id_a"), col("id_b")).as("id_b"))
-
-    small.unionAll(midPairs).dropDuplicates("id_a", "id_b")
+      .where(col("bsz") >= 2 && col("bsz") <= cfg.saltedMaxBlockSize)
+      .select(keys.map(col): _*)
+    cached.join(elig, keys)
+      .groupBy(keys.map(col): _*)
+      .agg(collect_list(struct(col("id"), col("len"))).as("ms"))
+      .select($"ms".as[Seq[(Long, Int)]])
+      .flatMap { ms =>
+        // task-local pair loop over one block (<= cap members)
+        val n = ms.length
+        val out = new scala.collection.mutable.ArrayBuffer[(Long, Long)](n * (n - 1) / 2)
+        var i = 0
+        while (i < n) {
+          val (ida, la) = ms(i)
+          var j = i + 1
+          while (j < n) {
+            val (idb, lb) = ms(j)
+            if (ida != idb && math.abs(la - lb) < band) {
+              out += ((math.min(ida, idb), math.max(ida, idb)))
+            }
+            j += 1
+          }
+          i += 1
+        }
+        out
+      }
+      .toDF("id_a", "id_b")
+      .dropDuplicates("id_a", "id_b")
   }
 
   /** Blocking-policy lineage: how many blocks (and member rows) the
@@ -156,14 +157,49 @@ object Er {
 
   /** Attach both contents (two equi-joins against the corpus — ids-only
     * pairs stay skinny through the dedup shuffle; content is joined in
-    * last, once per pair side). */
+    * last, once per pair side).
+    *
+    * Round 6 (guide §3.1/§8): when the projected (id, bytes) corpus side
+    * is estimated under [[contentBroadcastLimit]], both attach joins are
+    * explicit broadcast-hash joins — the pairs side is then never
+    * shuffled by content at all (the old plan paid THREE payload
+    * exchanges: corpus by id_a, the half-attached pairs + corpus again by
+    * id_b). Past the limit the plan falls back to the shuffled equi-join
+    * unchanged — the 100-TB shape, where the corpus can never broadcast
+    * and skinny-pairs-then-attach is already the right layout. The limit
+    * is scale-adaptive (plan statistics), not a local[32] constant. */
   def withContents(pairs: DataFrame, corpus: DataFrame): DataFrame = {
-    val ca = corpus.select(col("id").as("id_a"),
-      col("content").cast("binary").as("bytes_a"))
-    val cb = corpus.select(col("id").as("id_b"),
-      col("content").cast("binary").as("bytes_b"))
-    pairs.join(ca, "id_a").join(cb, "id_b")
+    val c = corpus.select(col("id"), col("content").cast("binary").as("bytes"))
+    val small = fitsBroadcast(c)
+    def side(sfx: String): DataFrame = {
+      val s = c.select(col("id").as(s"id_$sfx"), col("bytes").as(s"bytes_$sfx"))
+      if (small) broadcast(s) else s
+    }
+    // broadcast branch: the skinny pair frame often arrives AQE-coalesced
+    // to one or two partitions (a million id pairs is only ~16 MB), which
+    // would serialize the whole map-side attach through one task — an
+    // explicit repartition of the ID-ONLY rows (cheap: no payload yet)
+    // restores attach parallelism. The shuffled branch re-partitions by
+    // the join key anyway, so it needs no widening here.
+    val p =
+      if (small)
+        pairs.repartition(pairs.sparkSession.sparkContext.defaultParallelism * 2)
+      else pairs
+    p.join(side("a"), "id_a").join(side("b"), "id_b")
       .select("id_a", "id_b", "bytes_a", "bytes_b")
+  }
+
+  /** True when the optimizer's size estimate for `df` fits under
+    * `SPARK_GRAFT_CONTENT_BROADCAST_MB` (default 256 MB — well inside
+    * executor/driver budgets here and a small fraction of typical
+    * production executor memory; Spark's broadcast hard cap is 8 GB).
+    * Estimates come from plan statistics, so the decision adapts to the
+    * input scale instead of being a local-mode constant: a 100-TB corpus
+    * reports terabytes and keeps the shuffled join. */
+  private[graft] def fitsBroadcast(df: DataFrame): Boolean = {
+    val limitBytes = BigInt(sys.env.getOrElse("SPARK_GRAFT_CONTENT_BROADCAST_MB", "256").toLong
+      * (1L << 20))
+    df.queryExecution.optimizedPlan.stats.sizeInBytes <= limitBytes
   }
 
   // ----------------------------------------------------------------- scoring
@@ -262,9 +298,16 @@ object Er {
     // superseded rounds accumulate until GC'd — long-lived cluster
     // sessions should set spark.cleaner.referenceTracking.cleanCheckpoints
     // =true so finished rounds' files are removed (see SCALING.md)
+    // round 6: the localCheckpoint is LAZY — the per-round signature()
+    // aggregation right after it is the action that materializes the
+    // checkpointed blocks, so each round runs ONE job instead of two
+    // (eager-checkpoint job + signature job; ~6 rounds saved 6 job
+    // round-trips in the bench's cluster stage). The reliable-checkpoint
+    // branch stays eager: a lazy reliable checkpoint would recompute the
+    // round's plan a second time when writing the checkpoint files.
     def cut(df: DataFrame): DataFrame =
       if (spark.sparkContext.getCheckpointDir.isDefined) df.checkpoint()
-      else df.localCheckpoint()
+      else df.localCheckpoint(eager = false)
 
     def largeStar(e: DataFrame): DataFrame = {
       val bidir = e.select(col("u"), col("v"))
@@ -294,7 +337,7 @@ object Er {
       .select(col("id_a").as("u"), col("id_b").as("v"))
       .where(col("u") =!= col("v"))
       .distinct()
-      .localCheckpoint() // initial cut is cheap either way
+      .localCheckpoint(eager = false) // materialized by isEmpty below
     if (e.isEmpty) {
       return e.select(col("u").as("id"), col("v").as("entity"))
     }
