@@ -436,11 +436,7 @@ object SparkEntry {
         .where(col("o_orderdate") < lit("1998-01-01").cast("timestamp_ntz"))
       val l = table(s, dir, "lineitem")
         .where(col("l_shipdate") > lit("1998-01-01").cast("timestamp_ntz"))
-      // round 6 (guide §3.1): orders is the smaller side and each
-      // post-shuffle partition of it fits a hash table comfortably —
-      // shuffled-hash skips both sort passes of the default sort-merge
-      // (same shuffles, same result; strategy hint only)
-      l.join(o.hint("shuffle_hash"), col("l_orderkey") === col("o_orderkey"))
+      l.join(o, col("l_orderkey") === col("o_orderkey"))
         .join(broadcast(c), col("o_custkey") === col("c_custkey"))
         .groupBy(col("l_orderkey"), col("o_orderdate").cast("date").as("order_date"))
         .agg(sum(floor(col("l_extendedprice") * (lit(1) - col("l_discount")) * 100)
@@ -459,11 +455,11 @@ object SparkEntry {
         col("o_orderdate") >= lit("1996-01-01").cast("timestamp_ntz") &&
           col("o_orderdate") < lit("1998-01-01").cast("timestamp_ntz"))
       val l = table(s, dir, "lineitem")
-      // round 6 (guide §3.1): the lineitem x orders exchange is this
-      // query's only shuffle join — shuffled-hash on the smaller (orders)
-      // side skips both sort passes of the default sort-merge (same
-      // shuffles, same result; strategy hint only)
-      l.join(o.hint("shuffle_hash"), col("l_orderkey") === col("o_orderkey"))
+      // round 6: a shuffled-hash hint on the orders side was tried and
+      // measured NO better than sort-merge here (BenchExtra 0.82 -> 1.12 s,
+      // bench reps agree) — the sorts on these int keys are not the cost;
+      // reverted per guide §1 (measure, keep only wins)
+      l.join(o, col("l_orderkey") === col("o_orderkey"))
         .join(broadcast(c), col("o_custkey") === col("c_custkey"))
         .join(broadcast(su),
           col("l_suppkey") === col("s_suppkey") &&

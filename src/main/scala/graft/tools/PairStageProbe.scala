@@ -91,6 +91,18 @@ object PairStageProbe {
     time("full_candidatePairs")(Er.candidatePairs(cached, cfg).count())
     time("full_withContents")(
       Er.withContents(Er.candidatePairs(cached, cfg), cfg match { case _ => corpus }).count())
+    // the EXACT Bench pairsIn statement (Bench.scala:102-106) one-shot,
+    // including the frozen repartition + MEMORY_AND_DISK persist
+    locally {
+      val t0 = System.nanoTime()
+      val pairsIn = Er.withContents(
+          Er.candidatePairs(Er.blocks(corpus, cfg), cfg), corpus)
+        .repartition(cpus * 2)
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      val n = pairsIn.count()
+      println(f"[pairprobe] bench_pairsIn_oneshot ${(System.nanoTime() - t0) / 1e9}%8.2fs rows=$n")
+      pairsIn.unpersist()
+    }
     spark.stop()
   }
 }
