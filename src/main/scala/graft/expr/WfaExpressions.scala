@@ -214,10 +214,18 @@ case class L2SqInt(left: Expression, right: Expression)
       b.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData])
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    nullSafeCodeGen(ctx, ev, (a, b) => s"""
-      java.lang.Long r = graft.expr.L2SqEval.l2sq($a, $b);
-      if (r == null) { ${ev.isNull} = true; } else { ${ev.value} = r.longValue(); }
-    """)
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      // freshName, NOT a literal: several l2sq_int instances can share one
+      // codegen scope (the round-6 literal-centroid argmin projection puts
+      // k of them in a single Project) — a fixed name is a Janino
+      // "Redefinition of local variable" compile error and a silent
+      // interpreted-mode fallback for the whole stage
+      val r = ctx.freshName("l2sqR")
+      s"""
+      java.lang.Long $r = graft.expr.L2SqEval.l2sq($a, $b);
+      if ($r == null) { ${ev.isNull} = true; } else { ${ev.value} = $r.longValue(); }
+    """
+    })
 
   override protected def withNewChildrenInternal(
       l: Expression, r: Expression): Expression = copy(l, r)
@@ -250,10 +258,15 @@ case class CosineSim(left: Expression, right: Expression)
       b.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData])
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    nullSafeCodeGen(ctx, ev, (a, b) => s"""
-      java.lang.Double r = graft.expr.CosineEval.cosine($a, $b);
-      if (r == null) { ${ev.isNull} = true; } else { ${ev.value} = r.doubleValue(); }
-    """)
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      // freshName for the same reason as L2SqInt: multiple instances per
+      // codegen scope must not collide
+      val r = ctx.freshName("cosR")
+      s"""
+      java.lang.Double $r = graft.expr.CosineEval.cosine($a, $b);
+      if ($r == null) { ${ev.isNull} = true; } else { ${ev.value} = $r.doubleValue(); }
+    """
+    })
 
   override protected def withNewChildrenInternal(
       l: Expression, r: Expression): Expression = copy(l, r)

@@ -20,12 +20,12 @@ import org.apache.spark.storage.StorageLevel
   * cells keep their previous centroid. The whole training run is
   * bit-reproducible on any cluster size — and DuckDB-oracle-checkable.
   *
-  * Scale shape (the MLlib KMeans pattern): centroids are tiny and
-  * broadcast; assignment is a map-side broadcast cross join reduced by a
-  * map-side-combinable `groupBy(vec_id).min(struct)` argmin (no window
-  * over the corpus); the update aggregates (cell, dim) partial sums
-  * map-side and collects only k x dim rows per iteration to the driver
-  * (k=8, dim=64 -> 512 rows), exactly like MLlib's per-iteration
+  * Scale shape (the MLlib KMeans pattern): centroids are tiny and ride
+  * the plan as literals; assignment is a single zero-shuffle argmin
+  * projection (round 6 — see [[assign]]; no cross join, no groupBy, no
+  * window over the corpus); the update aggregates (cell, dim) partial
+  * sums map-side and collects only k x dim rows per iteration to the
+  * driver (k=8, dim=64 -> 512 rows), exactly like MLlib's per-iteration
   * centroid reduce. */
 object KMeans {
 

@@ -15,11 +15,16 @@ final case class ErConfig(
     shingleK: Int = 5,       // char-shingle length for MinHash
     numHashes: Int = 63,     // MinHash signature length
     lshBands: Int = 21,      // bands (r = numHashes/lshBands rows per band)
-    maxBlockSize: Int = 16,  // blocks up to this size self-join directly
-    saltedMaxBlockSize: Int = 64, // blocks (maxBlockSize, this] use the salted
-                             // triangle join; anything larger is dropped as
-                             // boilerplate (join work grows as sum(blockSize^2))
-    saltBuckets: Int = 4,    // salt fan-out for the triangle join
+    maxBlockSize: Int = 16,  // retained config surface; since round 6 all
+                             // blocks <= saltedMaxBlockSize pair in one
+                             // task-local loop (see candidatePairs), so this
+                             // no longer selects a join path
+    saltedMaxBlockSize: Int = 64, // pairing cap: blocks beyond it are dropped
+                             // as boilerplate (pair work grows as
+                             // sum(blockSize^2)); also bounds the round-6
+                             // collect_list buffer
+    saltBuckets: Int = 4,    // retained config surface (round-1..5 salted
+                             // triangle join fan-out; unused since round 6)
     seed: Long = 42L,
     emitCigars: Boolean = false) {
   require(tau < band, s"tau ($tau) must be < band ($band)")
