@@ -55,23 +55,34 @@ object Buckets {
       .groupBy(kc: _*)
       .agg(collect_list(col("id")).as("ids"))
       .select($"ids".as[Seq[Long]])
-      .flatMap { ids =>
-        val n = ids.length
-        val out = new scala.collection.mutable.ArrayBuffer[(Long, Long)](n * (n - 1) / 2)
-        var i = 0
-        while (i < n) {
-          var j = i + 1
-          while (j < n) {
-            val a = ids(i); val b = ids(j)
-            if (a < b) out += ((a, b))
-            else if (b < a) out += ((b, a))
-            j += 1
-          }
-          i += 1
-        }
-        out
-      }
+      .flatMap(ids => localPairs[Long](ids, identity, (_, _) => true))
       .toDF("id_a", "id_b")
       .dropDuplicates("id_a", "id_b")
+  }
+
+  /** Task-local normalized pair emission over ONE capped bucket's member
+    * list: every i<j pair with distinct ids passing `keep`, oriented
+    * (min, max). The single source of the cap-bounded triangle loop —
+    * [[cappedSelfJoinPairs]] and Er.candidatePairs both route through it,
+    * so the bounded-buffer/orientation invariants live in one place.
+    * Callers guarantee |ms| <= cap via the eligibility pre-filter. */
+  private[graft] def localPairs[T](ms: Seq[T], id: T => Long,
+                                   keep: (T, T) => Boolean): Seq[(Long, Long)] = {
+    val n = ms.length
+    val out = new scala.collection.mutable.ArrayBuffer[(Long, Long)](n * (n - 1) / 2)
+    var i = 0
+    while (i < n) {
+      var j = i + 1
+      while (j < n) {
+        val a = ms(i); val b = ms(j)
+        val ida = id(a); val idb = id(b)
+        if (ida != idb && keep(a, b)) {
+          out += ((math.min(ida, idb), math.max(ida, idb)))
+        }
+        j += 1
+      }
+      i += 1
+    }
+    out.toSeq
   }
 }

@@ -122,25 +122,11 @@ object Er {
       .groupBy(keys.map(col): _*)
       .agg(collect_list(struct(col("id"), col("len"))).as("ms"))
       .select($"ms".as[Seq[(Long, Int)]])
-      .flatMap { ms =>
-        // task-local pair loop over one block (<= cap members)
-        val n = ms.length
-        val out = new scala.collection.mutable.ArrayBuffer[(Long, Long)](n * (n - 1) / 2)
-        var i = 0
-        while (i < n) {
-          val (ida, la) = ms(i)
-          var j = i + 1
-          while (j < n) {
-            val (idb, lb) = ms(j)
-            if (ida != idb && math.abs(la - lb) < band) {
-              out += ((math.min(ida, idb), math.max(ida, idb)))
-            }
-            j += 1
-          }
-          i += 1
-        }
-        out
-      }
+      // task-local pair loop over one block (<= cap members; shared
+      // cap-bounded triangle loop — see Buckets.localPairs) with the
+      // |len diff| < band pre-filter applied in-loop
+      .flatMap(ms => graft.ops.Buckets.localPairs[(Long, Int)](ms, _._1,
+        (a, b) => math.abs(a._2 - b._2) < band))
       .toDF("id_a", "id_b")
       .dropDuplicates("id_a", "id_b")
   }

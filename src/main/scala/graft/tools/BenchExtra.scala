@@ -79,8 +79,8 @@ object BenchExtra {
 
     // --- headline queries, noop-sink isolated, frame memo cleared per rep ---
     val headline =
-      if (args.nonEmpty && args(0).contains(","))
-        args(0).split(",").toSeq
+      if (args.nonEmpty && args(0) != "queries-only")
+        args(0).split(",").toSeq // one name or a CSV list, both honored
       else Seq("q01_pricing_agg", "q08_region_revenue", "er04_scores",
         "dd03_minhash_pairs", "ann01_topk", "q11_asof_join",
         "q12_interval_join", "samp02_quota", "ann04_kmeans")

@@ -90,7 +90,7 @@ object PairStageProbe {
 
     time("full_candidatePairs")(Er.candidatePairs(cached, cfg).count())
     time("full_withContents")(
-      Er.withContents(Er.candidatePairs(cached, cfg), cfg match { case _ => corpus }).count())
+      Er.withContents(Er.candidatePairs(cached, cfg), corpus).count())
     // the EXACT Bench pairsIn statement (Bench.scala:102-106) one-shot,
     // including the frozen repartition + MEMORY_AND_DISK persist
     locally {
